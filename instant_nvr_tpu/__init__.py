@@ -1,0 +1,16 @@
+"""instant_nvr_tpu — TPU-native framework for fast dynamic-human neural volumetric
+representations ("Learning Neural Volumetric Representations of Dynamic Humans in
+Minutes", CVPR 2023).
+
+Built from scratch for TPU (JAX / XLA / Pallas / pjit):
+  - one fused, jitted render+loss step (no chunked Python loops on the hot path)
+  - static shapes everywhere: fixed-budget top-k culling replaces data-dependent
+    ``nonzero`` gathers
+  - the five part networks run as a stacked/vmapped "expert" axis, not a Python loop
+  - KNN blend weights via MXU-friendly batched distance matmuls + ``lax.top_k``
+  - ray axis sharded over a ``jax.sharding.Mesh`` for multi-chip scale-out
+
+Reference behavior parity target: zju3dv/instant-nvr (see SURVEY.md).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,110 @@
+"""Differentiable grid sampling (JAX).
+
+TPU-native replacement for the reference's hand-rolled double-backward-capable
+``grid_sample`` (``lib/utils/blend_utils.py:51-230``) and its wrappers
+``pts_sample_blend_weights`` / ``pts_sample_uv`` (blend_utils.py:501-555).
+JAX differentiates gathers natively (grad-of-grad included), so this is a
+plain 8-corner gather + trilinear lerp.
+
+Layout note: volumes are channels-LAST ``(X, Y, Z, C)`` — the reference's
+``(D, H, W, C)`` arrays are indexed x-major in exactly this order (its
+xyz->zyx flip + permute dance reproduces the same indexing through
+``F.grid_sample``); channels-last keeps C on the TPU lane dimension.
+
+Padded volumes: per-frame blend-weight volumes have frame-dependent extents.
+To keep shapes static under jit we pad to a per-dataset max and pass the
+*actual* extent as a traced ``sizes`` array — only index arithmetic depends
+on it, never a shape.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample_3d(vol: jnp.ndarray, coords: jnp.ndarray,
+                   sizes: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Trilinear sample with border padding, align_corners=True.
+
+    vol: (X, Y, Z, C) (optionally padded); coords: (N, 3) in [-1, 1] per axis;
+    sizes: optional (3,) int array of actual extents (defaults to vol.shape).
+    Returns (N, C).
+    """
+    if sizes is None:
+        sizes = jnp.array(vol.shape[:3], dtype=jnp.int32)
+    sizes_f = sizes.astype(coords.dtype)
+    # align_corners=True: -1 -> 0, +1 -> size-1
+    pix = (coords + 1.0) * 0.5 * (sizes_f - 1.0)  # (N, 3)
+    lo = jnp.floor(pix)
+    frac = pix - lo
+    lo = lo.astype(jnp.int32)
+
+    def clamp(idx):
+        return jnp.clip(idx, 0, sizes - 1)
+
+    c000 = clamp(lo)
+    c111 = clamp(lo + 1)
+
+    def gather(ix, iy, iz):
+        return vol[ix, iy, iz]  # (N, C) advanced-index gather
+
+    x0, y0, z0 = c000[:, 0], c000[:, 1], c000[:, 2]
+    x1, y1, z1 = c111[:, 0], c111[:, 1], c111[:, 2]
+    fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
+
+    v000 = gather(x0, y0, z0)
+    v001 = gather(x0, y0, z1)
+    v010 = gather(x0, y1, z0)
+    v011 = gather(x0, y1, z1)
+    v100 = gather(x1, y0, z0)
+    v101 = gather(x1, y0, z1)
+    v110 = gather(x1, y1, z0)
+    v111 = gather(x1, y1, z1)
+
+    v00 = v000 * (1 - fz) + v001 * fz
+    v01 = v010 * (1 - fz) + v011 * fz
+    v10 = v100 * (1 - fz) + v101 * fz
+    v11 = v110 * (1 - fz) + v111 * fz
+    v0 = v00 * (1 - fy) + v01 * fy
+    v1 = v10 * (1 - fy) + v11 * fy
+    return v0 * (1 - fx) + v1 * fx
+
+
+def pts_sample_volume(pts: jnp.ndarray, vol: jnp.ndarray, bounds: jnp.ndarray,
+                      sizes: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Sample a bounded volume at world/pose-space points.
+
+    pts: (N, 3); vol: (X, Y, Z, C); bounds: (2, 3).  Returns (N, C).
+    Mirrors reference ``pts_sample_blend_weights`` (blend_utils.py:501-525) /
+    ``pts_sample_uv`` (528-555) minus their flip/permute bookkeeping.
+    """
+    extent = bounds[1] - bounds[0]
+    coords = (pts - bounds[0]) / extent * 2.0 - 1.0
+    return grid_sample_3d(vol, coords, sizes=sizes)
+
+
+def grid_sample_2d(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample, border padding, align_corners=True.
+
+    img: (H, W, C); coords: (N, 2) in [-1, 1] as (x, y) where x indexes W.
+    Returns (N, C).  Matches torch ``F.grid_sample`` 2D semantics used by the
+    reference's UV lookups.
+    """
+    H, W = img.shape[:2]
+    x = (coords[:, 0] + 1.0) * 0.5 * (W - 1)
+    y = (coords[:, 1] + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    v0 = v00 * (1 - fx) + v01 * fx
+    v1 = v10 * (1 - fx) + v11 * fx
+    return v0 * (1 - fy) + v1 * fy

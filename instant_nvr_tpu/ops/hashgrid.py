@@ -1,0 +1,171 @@
+"""Multiresolution hash-grid encoding (iNGP-style), TPU-native.
+
+Rebuild of the reference's part hash embedder
+(``lib/networks/embedders/part_base_embedder.py:12-174``):
+
+  - L levels with growth factor ``b``; level i has ``int(base_res * b**i)``
+    entries per side.
+  - Levels whose dense size fits under the table size stay *dense* (flat
+    x*n^2 + y*n + z indexing, concatenated into one table); larger levels are
+    *hashed* with the prime-xor spatial hash into a ``nextprime(2^log2)``
+    sized table.
+  - 8-corner gather + trilinear interpolation, then feature aggregation:
+    ``sum_over_features`` (-> L dims, the reference default for parts),
+    sum-over-levels (-> F dims), or concat (-> L*F dims).
+  - ``include_input`` concatenates the normalized xyz (3 dims).
+
+Deviation (documented): the reference computes the spatial hash in int64
+(``x*p0 ^ y*p1 ^ z*p2 mod T``, part_base_embedder.py:131-136); we compute it
+in uint32 with wraparound multiplication — the original iNGP formulation —
+because TPUs have no fast int64 path.  The hash *values* differ but the
+distribution quality is identical; nothing downstream depends on exact
+indices.
+
+Init matches the reference's single-tensor kaiming_normal over an (L, T, F)
+tensor (std = sqrt(2 / (T*F)), part_base_embedder.py:71-79): near-zero init
+is load-bearing for convergence.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from sympy import nextprime
+
+
+class HashGridSpec(NamedTuple):
+    """Static description of one hash-grid embedder (hashable; jit-static)."""
+    n_levels: int
+    n_features: int
+    table_size: int              # nextprime(2**log2_hashmap_size)
+    entries_num: Tuple[int, ...]  # per-level entries per side
+    start_hash: int              # first hashed level
+    dense_offsets: Tuple[int, ...]  # flat offset of each dense level in the dense table
+    dense_total: int
+    sum: bool
+    sum_over_features: bool
+    include_input: bool
+    primes: Tuple[int, int, int]
+
+    @property
+    def out_dim(self) -> int:
+        if self.sum:
+            d = self.n_levels if self.sum_over_features else self.n_features
+        else:
+            d = self.n_levels * self.n_features
+        return d + (3 if self.include_input else 0)
+
+    @property
+    def n_hash_levels(self) -> int:
+        return self.n_levels - self.start_hash
+
+
+def make_hashgrid_spec(n_levels: int = 16, n_features_per_level: int = 16,
+                       log2_hashmap_size: int = 18, base_resolution: int = 2,
+                       b: float = 1.38, sum: bool = True,
+                       sum_over_features: bool = True,
+                       include_input: bool = True,
+                       separate_dense: bool = True,
+                       primes=(1, 19349663, 83492791),
+                       **_unused) -> HashGridSpec:
+    table_size = int(nextprime(2 ** log2_hashmap_size))
+    entries_num = tuple(int(base_resolution * b ** i) for i in range(n_levels))
+    entries_cnt = [n ** 3 for n in entries_num]
+    start_hash = n_levels
+    for i in range(n_levels):
+        if entries_cnt[i] > table_size:
+            start_hash = i
+            break
+    if not separate_dense:
+        start_hash = 0
+    offsets, total = [], 0
+    for i in range(start_hash):
+        offsets.append(total)
+        total += entries_cnt[i]
+    return HashGridSpec(
+        n_levels=n_levels, n_features=n_features_per_level,
+        table_size=table_size, entries_num=entries_num, start_hash=start_hash,
+        dense_offsets=tuple(offsets), dense_total=total, sum=sum,
+        sum_over_features=sum_over_features, include_input=include_input,
+        primes=tuple(int(p) for p in primes))
+
+
+def hashgrid_init(key: jax.Array, spec: HashGridSpec,
+                  dtype=jnp.float32) -> dict:
+    """Parameters: {'dense': (dense_total, F), 'hash': (H, T, F)}.
+
+    Both use std = sqrt(2 / (T*F)) — the fan of the reference's joint
+    (L, T, F) kaiming init.
+    """
+    std = math.sqrt(2.0 / (spec.table_size * spec.n_features))
+    kd, kh = jax.random.split(key)
+    params = {}
+    params["dense"] = std * jax.random.normal(
+        kd, (max(spec.dense_total, 1), spec.n_features), dtype=dtype)
+    params["hash"] = std * jax.random.normal(
+        kh, (max(spec.n_hash_levels, 1), spec.table_size, spec.n_features), dtype=dtype)
+    return params
+
+
+def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
+                    bounds: jnp.ndarray) -> jnp.ndarray:
+    """Encode points.  xyz: (N, 3); bounds: (2, 3).  Returns (N, out_dim).
+
+    Pure gather + lerp; gathers over the dense/hash tables are the dominant
+    cost and XLA lowers them to TPU dynamic-gather.  A fused Pallas variant
+    lives in ``instant_nvr_tpu/ops/pallas/hashgrid_pallas.py``.
+    """
+    N = xyz.shape[0]
+    L, F = spec.n_levels, spec.n_features
+    S, H = spec.start_hash, spec.n_hash_levels
+
+    x01 = (xyz - bounds[0]) / (bounds[1] - bounds[0])  # (N, 3) normalized
+
+    entries = jnp.array(spec.entries_num, dtype=x01.dtype)  # (L,)
+    flt = x01[None, :, :] * (entries - 1.0)[:, None, None]  # (L, N, 3)
+    # truncation toward zero like torch .long() (part_base_embedder.py:116)
+    base = flt.astype(jnp.int32)  # (L, N, 3) corner000 before clipping
+    nmax = jnp.array(spec.entries_num, dtype=jnp.int32)[:, None, None]  # (L,1,1)
+
+    # 8 corner offsets in the reference's bit order (z fastest)
+    corner = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
+                      axis=-1).reshape(8, 3)  # (8,3) rows: 000,001,010,011,100,...
+    corner = jnp.array(corner, dtype=jnp.int32)
+
+    idx = base[:, :, None, :] + corner[None, None, :, :]  # (L, N, 8, 3)
+    idx = jnp.clip(idx, 0, (nmax - 1)[..., None])
+    # offset measured from the *clipped* 000 corner (reference line 118)
+    off = flt - idx[:, :, 0, :].astype(flt.dtype)  # (L, N, 3)
+
+    vals = []
+    if S > 0:
+        nd = nmax[:S]  # (S,1,1)
+        ind_d = (idx[:S, ..., 0] * (nd * nd) + idx[:S, ..., 1] * nd
+                 + idx[:S, ..., 2])  # (S, N, 8)
+        ind_d = ind_d + jnp.array(spec.dense_offsets, dtype=jnp.int32)[:, None, None]
+        vals.append(params["dense"][ind_d])  # (S, N, 8, F)
+    if H > 0:
+        p0, p1, p2 = (jnp.uint32(p) for p in spec.primes)
+        ih = idx[S:].astype(jnp.uint32)
+        ind_h = ((ih[..., 0] * p0) ^ (ih[..., 1] * p1) ^ (ih[..., 2] * p2))
+        ind_h = (ind_h % jnp.uint32(spec.table_size)).astype(jnp.int32)  # (H, N, 8)
+        vals.append(jax.vmap(lambda tbl, ind: tbl[ind])(params["hash"], ind_h))
+    val = jnp.concatenate(vals, axis=0) if len(vals) > 1 else vals[0]  # (L, N, 8, F)
+
+    # trilinear weights: corner==0 -> (1-off), corner==1 -> off
+    cf = corner.astype(flt.dtype)  # (8, 3)
+    w = (1.0 - cf)[None, None] + (2.0 * cf - 1.0)[None, None] * off[:, :, None, :]
+    w = w[..., 0] * w[..., 1] * w[..., 2]  # (L, N, 8)
+    val = jnp.sum(w[..., None] * val, axis=-2)  # (L, N, F)
+
+    val = jnp.swapaxes(val, 0, 1)  # (N, L, F)
+    if spec.sum:
+        val = jnp.sum(val, axis=-1) if spec.sum_over_features else jnp.sum(val, axis=-2)
+    else:
+        val = val.reshape(N, L * F)
+    if spec.include_input:
+        val = jnp.concatenate([x01, val], axis=-1)
+    return val

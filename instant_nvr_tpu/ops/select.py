@@ -1,0 +1,52 @@
+"""Fixed-budget selection: the static-shape replacement for ``nonzero``.
+
+The reference culls ray samples with data-dependent gathers
+(``inb_part_network_multiassign.py:137``: ``nonzero`` + gather, a forced
+GPU<->CPU sync) and routes points to part networks the same way
+(``TPoseHuman.forward:204-234``, five more syncs).  Under XLA everything must
+be shape-static, so instead we:
+
+  1. score every candidate (e.g. SMPL distance),
+  2. ``top_k`` a *fixed budget* of the best candidates,
+  3. compute densely on the budget, carrying a validity mask,
+  4. scatter results back to the full set (invalid slots contribute zero).
+
+When the true survivor count exceeds the budget the extra points are dropped
+(farthest first) — benign here because dropped points are far from the body
+surface and would composite to ~zero density anyway.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def topk_select(score: jnp.ndarray, budget: int, thresh: float
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Indices of the ``budget`` smallest-score entries + validity mask.
+
+    score: (N,).  Returns (idx (budget,), valid (budget,) bool) where
+    ``valid[i] = score[idx[i]] < thresh``.
+    """
+    neg, idx = jax.lax.top_k(-score, budget)
+    return idx, (-neg) < thresh
+
+
+def gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x (N, ...) -> (budget, ...)."""
+    return x[idx]
+
+
+def scatter_back(full_shape_like: jnp.ndarray, idx: jnp.ndarray,
+                 values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Scatter budget-sized ``values`` into a zeros-like of ``full_shape_like``.
+
+    Invalid slots are zeroed before the scatter so duplicate/padded indices
+    cannot pollute the output.
+    """
+    mask = valid.reshape(valid.shape + (1,) * (values.ndim - valid.ndim))
+    vals = jnp.where(mask, values, 0.0)
+    out = jnp.zeros_like(full_shape_like)
+    return out.at[idx].set(vals, mode="drop")

@@ -1,0 +1,121 @@
+"""Hash-grid encoder vs an independent numpy oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instant_nvr_tpu.ops.hashgrid import (HashGridSpec, hashgrid_encode,
+                                          hashgrid_init, make_hashgrid_spec)
+
+
+def np_hashgrid_oracle(spec: HashGridSpec, params, xyz, bounds):
+    """Straightforward numpy reimplementation of the encoding contract."""
+    dense = np.asarray(params["dense"])
+    hsh = np.asarray(params["hash"])
+    x01 = (xyz - bounds[0]) / (bounds[1] - bounds[0])
+    N = xyz.shape[0]
+    L, F = spec.n_levels, spec.n_features
+    out = np.zeros((N, L, F), np.float32)
+    corners = [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
+    for lvl in range(L):
+        n = spec.entries_num[lvl]
+        flt = x01 * (n - 1)
+        base = flt.astype(np.int32)  # trunc toward zero
+        c000 = np.clip(base, 0, n - 1)
+        off = flt - c000
+        acc = np.zeros((N, F), np.float32)
+        for (ci, cj, ck) in corners:
+            idx = np.clip(base + np.array([ci, cj, ck]), 0, n - 1)
+            w = np.prod(np.where(np.array([ci, cj, ck]) == 1, off, 1 - off), axis=-1)
+            if lvl < spec.start_hash:
+                flat = (idx[:, 0] * n * n + idx[:, 1] * n + idx[:, 2]
+                        + spec.dense_offsets[lvl])
+                v = dense[flat]
+            else:
+                iu = idx.astype(np.uint32)
+                h = ((iu[:, 0] * np.uint32(spec.primes[0]))
+                     ^ (iu[:, 1] * np.uint32(spec.primes[1]))
+                     ^ (iu[:, 2] * np.uint32(spec.primes[2]))) % np.uint32(spec.table_size)
+                v = hsh[lvl - spec.start_hash][h.astype(np.int64)]
+            acc += w[:, None] * v
+        out[:, lvl] = acc
+    if spec.sum:
+        val = out.sum(-1) if spec.sum_over_features else out.sum(-2)
+    else:
+        val = out.reshape(N, L * F)
+    if spec.include_input:
+        val = np.concatenate([x01, val], -1)
+    return val
+
+
+def _run_case(spec, seed=0, n=64):
+    rng = np.random.default_rng(seed)
+    params = hashgrid_init(jax.random.key(seed), spec)
+    xyz = rng.uniform(-0.1, 1.1, size=(n, 3)).astype(np.float32)
+    bounds = np.array([[0, 0, 0], [1, 1, 1]], np.float32)
+    got = np.asarray(hashgrid_encode(spec, params, jnp.array(xyz), jnp.array(bounds)))
+    want = np_hashgrid_oracle(spec, params, xyz, bounds)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert got.shape == (n, spec.out_dim)
+
+
+def test_part_config_body_small():
+    # body-part config shape (downscaled table for test speed)
+    spec = make_hashgrid_spec(n_levels=8, n_features_per_level=4,
+                              log2_hashmap_size=10, base_resolution=4, b=1.38,
+                              sum=True, sum_over_features=True, include_input=True)
+    assert spec.start_hash > 0 and spec.n_hash_levels > 0
+    _run_case(spec)
+
+
+def test_all_dense():
+    spec = make_hashgrid_spec(n_levels=4, n_features_per_level=2,
+                              log2_hashmap_size=14, base_resolution=2, b=1.38)
+    assert spec.start_hash == 4  # everything fits dense
+    _run_case(spec)
+
+
+def test_no_separate_dense_all_hashed():
+    spec = make_hashgrid_spec(n_levels=4, n_features_per_level=2,
+                              log2_hashmap_size=8, base_resolution=2, b=1.38,
+                              separate_dense=False)
+    assert spec.start_hash == 0
+    _run_case(spec)
+
+
+def test_concat_mode_uvt():
+    # deformer embedder config: sum=False -> L*F concat (+3 input)
+    spec = make_hashgrid_spec(n_levels=8, n_features_per_level=2,
+                              log2_hashmap_size=14, base_resolution=4, b=1.38,
+                              sum=False, include_input=True)
+    assert spec.out_dim == 8 * 2 + 3
+    _run_case(spec)
+
+
+def test_out_dim_reference_configs():
+    body = make_hashgrid_spec(n_levels=16, n_features_per_level=16,
+                              log2_hashmap_size=20, base_resolution=16, b=1.38)
+    assert body.out_dim == 16 + 3  # sum_over_features -> L, + xyz
+
+
+def test_grad_flows():
+    spec = make_hashgrid_spec(n_levels=4, n_features_per_level=2,
+                              log2_hashmap_size=8, base_resolution=2)
+    params = hashgrid_init(jax.random.key(0), spec)
+    xyz = jnp.array(np.random.default_rng(0).uniform(0, 1, (16, 3)), jnp.float32)
+    bounds = jnp.array([[0, 0, 0], [1, 1, 1]], jnp.float32)
+
+    def loss(p):
+        return jnp.sum(hashgrid_encode(spec, p, xyz, bounds) ** 2)
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_init_scale_matches_joint_kaiming():
+    spec = make_hashgrid_spec(n_levels=8, n_features_per_level=16,
+                              log2_hashmap_size=14, base_resolution=4)
+    params = hashgrid_init(jax.random.key(0), spec)
+    expected_std = np.sqrt(2.0 / (spec.table_size * spec.n_features))
+    got_std = float(jnp.std(params["hash"]))
+    assert abs(got_std - expected_std) / expected_std < 0.05
