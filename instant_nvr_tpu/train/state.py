@@ -1,0 +1,62 @@
+"""Train state: optimizer, LR schedule, and the TrainState pytree.
+
+Mirrors the reference training setup (``lib/train/optimizer.py`` +
+``lib/utils/optimizer/lr_scheduler.py:66-75``): Adam with eps=1e-15 and an
+exponential schedule ``lr * gamma**(epoch / decay_epochs)`` stepped per
+epoch.  The reference's param-group split on ``'data' in name`` matches no
+parameter and both groups share the same lr by default (SURVEY.md Q6), so a
+single group is exact; ``mlp_weight_decay != 1`` is honored by scaling the
+lr of non-embedding params via an optax mask.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import optax
+
+
+class TrainState(NamedTuple):
+    step: jax.Array          # int32 scalar
+    params: Any
+    opt_state: Any
+
+
+def make_lr_schedule(base_lr: float, gamma: float, decay_epochs: int,
+                     ep_iter: int):
+    """Per-step schedule equal to the reference's per-epoch exponential decay."""
+    def schedule(step):
+        epoch = step // max(ep_iter, 1)
+        return base_lr * gamma ** (epoch / decay_epochs)
+    return schedule
+
+
+def make_optimizer(cfg):
+    sched_cfg = cfg.train.scheduler
+    if sched_cfg.get("type", "exponential") == "exponential":
+        schedule = make_lr_schedule(cfg.train.lr, sched_cfg.gamma,
+                                    sched_cfg.decay_epochs, cfg.ep_iter)
+    else:  # multi_step
+        boundaries = {int(m) * cfg.ep_iter: float(sched_cfg.gamma)
+                      for m in sched_cfg.milestones}
+        schedule = optax.piecewise_constant_schedule(cfg.train.lr, boundaries)
+
+    opt = optax.adam(schedule, eps=cfg.train.eps)
+    if cfg.train.weight_decay:
+        opt = optax.chain(optax.add_decayed_weights(cfg.train.weight_decay), opt)
+
+    mlp_scale = cfg.get("mlp_weight_decay", 1.0)
+    if mlp_scale != 1.0:
+        # reference intent: embedding tables get lr, MLPs get lr * scale
+        def mask_fn(params):
+            return jax.tree.map_with_path(
+                lambda path, _: not any(getattr(k, "key", None) == "embed"
+                                        for k in path), params)
+        opt = optax.chain(opt, optax.masked(optax.scale(mlp_scale), mask_fn))
+    return opt, schedule
+
+
+def create_train_state(params, opt) -> TrainState:
+    import jax.numpy as jnp
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt.init(params))

@@ -1,0 +1,115 @@
+"""Loss assembly + the fused train step.
+
+Rebuild of the reference loss wrapper (``lib/train/trainers/inb_trainer.py``)
+and the optimizer step (``lib/train/trainers/trainer.py:140-149``) as one
+jitted function: render -> losses -> grad -> adam update.  Under a device
+mesh the ray axis of the batch is sharded and parameters are replicated;
+XLA inserts the gradient all-reduce (the DDP/NCCL replacement).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import inb
+from ..renderer.inb_renderer import RenderSpec, pair_reg_loss, render_rays
+from .state import TrainState
+
+
+class LossWeights(NamedTuple):
+    """Static loss gates/weights (stage-scheduled values are traced)."""
+    pair: float = 10.0
+    resd: float = 0.1
+    use_pair: bool = True
+    use_distortion: bool = True
+    use_patch: bool = False       # LPIPS/SSIM/... patch losses (see losses.py)
+    patch_kind: str = "lpips"
+
+
+def make_loss_weights(cfg) -> LossWeights:
+    patch_kind = ""
+    for k in ("lpips", "ssim", "fourier", "tv_image"):
+        if cfg.get(f"use_{k}", False):
+            patch_kind = k
+            break
+    return LossWeights(
+        pair=cfg.pair_loss_weight,
+        resd=cfg.resd_loss_weight,
+        use_pair=cfg.use_pair_reg,
+        use_distortion=cfg.use_reg_distortion,
+        use_patch=bool(patch_kind),
+        patch_kind=patch_kind or "lpips",
+    )
+
+
+def compute_losses(mspec: inb.ModelSpec, rspec: RenderSpec, lw: LossWeights,
+                   params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
+                   patch_loss_fn=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Returns (total_loss, scalar_stats).  ``batch['rgb']`` is GT per ray.
+
+    Loss terms and weights follow inb_trainer.py:40-240:
+      - image MSE (or the patch perceptual loss when patch sampling is on —
+        the reference's lpips branch replaces plain MSE, inb_trainer.py:211-214)
+      - pair reg * pair_loss_weight
+      - distortion * reg_dist_weight (traced, stage-scheduled)
+      - residual magnitude * resd_loss_weight
+    """
+    ret = render_rays(mspec, rspec, params, batch, train=True, rng=rng)
+    stats: Dict[str, jnp.ndarray] = {}
+    loss = jnp.zeros((), jnp.float32)
+
+    # image loss
+    rgb_gt = batch["rgb"]
+    ray_mask = batch.get("ray_mask")          # (R,) 1 for real rays, 0 for pad
+    diff2 = jnp.sum((ret["rgb_map"] - rgb_gt) ** 2, axis=-1) / 3.0
+    if ray_mask is not None:
+        img_loss = jnp.sum(diff2 * ray_mask) / jnp.maximum(jnp.sum(ray_mask), 1.0)
+    else:
+        img_loss = jnp.mean(diff2)
+    stats["img_loss"] = img_loss
+    stats["psnr"] = -10.0 * jnp.log(img_loss) / jnp.log(10.0)
+
+    if lw.use_patch and patch_loss_fn is not None:
+        ploss = patch_loss_fn(ret, batch)
+        stats["patch_loss"] = ploss
+        loss = loss + ploss
+    else:
+        loss = loss + img_loss
+
+    if lw.use_pair and "pair_resd0" in ret:
+        pl = pair_reg_loss(ret["pair_resd0"], ret["pair_resd1"], ret["pair_valid"])
+        stats["pair_loss"] = pl
+        loss = loss + lw.pair * pl
+
+    if lw.use_distortion and "reg_distortion" in ret:
+        dl = jnp.mean(ret["reg_distortion"])
+        stats["reg_dist"] = dl
+        loss = loss + batch.get("reg_dist_weight", 0.1) * dl
+
+    if "resd" in ret:
+        ol = jnp.mean(jnp.linalg.norm(ret["resd"], axis=-1))
+        stats["offset_loss"] = ol
+        loss = loss + lw.resd * ol
+
+    stats["loss"] = loss
+    return loss, stats
+
+
+def make_train_step(mspec: inb.ModelSpec, rspec: RenderSpec, lw: LossWeights,
+                    opt, patch_loss_fn=None):
+    """Build the single fused (loss+grad+update) step; caller jits/shards it."""
+
+    def train_step(state: TrainState, batch, rng):
+        def loss_fn(p):
+            return compute_losses(mspec, rspec, lw, p, batch, rng, patch_loss_fn)
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), stats
+
+    return train_step

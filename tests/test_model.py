@@ -1,0 +1,133 @@
+"""Model forward / train-step integration tests on the synthetic scene."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instant_nvr_tpu.models import inb
+from instant_nvr_tpu.models.deformer import make_deformer_spec
+from instant_nvr_tpu.ops.hashgrid import make_hashgrid_spec
+from instant_nvr_tpu.datasets import synthetic
+from instant_nvr_tpu.renderer.inb_renderer import RenderSpec, render_rays
+from instant_nvr_tpu.train.step import LossWeights, compute_losses, make_train_step
+from instant_nvr_tpu.train.state import TrainState
+
+PRIMES = (1, 19349663, 83492791)
+
+
+def tiny_spec(**kw) -> inb.ModelSpec:
+    embed = make_hashgrid_spec(n_levels=4, n_features_per_level=4,
+                               log2_hashmap_size=10, base_resolution=4,
+                               b=1.38, primes=PRIMES)
+    deformer = make_deformer_spec(dict(n_levels=4, n_features_per_level=2,
+                                       log2_hashmap_size=8, base_resolution=4,
+                                       b=1.38, sum=False), PRIMES)
+    defaults = dict(
+        partnames=("body", "leg", "head", "larm", "rarm"),
+        part_embeds=(embed,) * 5,
+        rgb_archs=((32, 2), (32, 1), (32, 2), (32, 1), (32, 1)),
+        occ_arch=(32, 1),
+        geo_feature_dim=8,
+        latent_dim=8,
+        num_latent=4,
+        viewdir_res=4,
+        deformer=deformer,
+        aggr="",
+        smpl_thresh=0.10,
+        knn_k=4,
+        knn_radius=0.075,
+        knn_chunk=512,
+        cull_frac=0.25,
+        part_frac=0.5,
+        tpose_viewdir=True,
+        compute_dtype="float32",
+    )
+    defaults.update(kw)
+    return inb.ModelSpec(**defaults)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic.make_scene(n_verts=600, grid=24)
+
+
+@pytest.fixture(scope="module")
+def view(scene):
+    return synthetic.render_gt(scene, H=48, W=48)
+
+
+def _to_device(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_forward_shapes_and_finite(scene, view):
+    spec = tiny_spec()
+    params = inb.init_params(jax.random.key(0), spec)
+    batch = _to_device(synthetic.make_batch(scene, view, n_rays=64))
+    R, S = 64, 8
+    z = jnp.linspace(batch["near"], batch["far"], S, axis=-1)
+    wpts = (batch["ray_o"][:, None] + batch["ray_d"][:, None] * z[..., None])
+    ret = inb.forward(spec, params, wpts.reshape(-1, 3),
+                      jnp.repeat(batch["ray_d"], S, axis=0), batch, train=True)
+    assert ret["raw"].shape == (R * S, 4)
+    assert np.isfinite(np.asarray(ret["raw"])).all()
+    # occupancies in [0, 1]
+    occ = np.asarray(ret["occ"])
+    assert occ.min() >= 0 and occ.max() <= 1
+
+
+def test_forward_density_located_on_surface(scene, view):
+    """Points on the sphere surface should be able to receive nonzero occ
+    after a few gradient steps; points far away must stay culled (occ=0)."""
+    spec = tiny_spec()
+    params = inb.init_params(jax.random.key(0), spec)
+    batch = _to_device(synthetic.make_batch(scene, view, n_rays=32))
+    far_pts = jnp.full((128, 3), 5.0)  # way outside the SMPL distance field
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (128, 1))
+    ret = inb.forward(spec, params, far_pts, dirs, batch, train=False)
+    np.testing.assert_allclose(np.asarray(ret["occ"]), 0.0, atol=1e-6)
+
+
+def test_render_and_losses(scene, view):
+    spec = tiny_spec()
+    params = inb.init_params(jax.random.key(0), spec)
+    rspec = RenderSpec(n_samples=8, pair_budget=128)
+    batch = _to_device(synthetic.make_batch(scene, view, n_rays=64))
+    loss, stats = compute_losses(spec, rspec, LossWeights(), params, batch,
+                                 jax.random.key(1))
+    assert np.isfinite(float(loss))
+    for k in ("img_loss", "psnr", "offset_loss", "loss"):
+        assert k in stats and np.isfinite(float(stats[k])), k
+
+
+def test_overfit_sphere(scene, view):
+    """End-to-end: loss decreases and PSNR rises when overfitting one view."""
+    import optax
+    spec = tiny_spec()
+    params = inb.init_params(jax.random.key(0), spec)
+    rspec = RenderSpec(n_samples=12, pair_budget=128, use_pair_reg=False,
+                       use_reg_distortion=False)
+    lw = LossWeights(use_pair=False, use_distortion=False, resd=0.01)
+    opt = optax.adam(5e-3, eps=1e-15)
+    state = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+    step = jax.jit(make_train_step(spec, rspec, lw, opt))
+
+    batch_np = synthetic.make_batch(scene, view, n_rays=256, seed=0)
+    batch = _to_device(batch_np)
+    first_psnr = None
+    for i in range(60):
+        state, stats = step(state, batch, jax.random.key(i))
+        if i == 0:
+            first_psnr = float(stats["psnr"])
+    last_psnr = float(stats["psnr"])
+    assert last_psnr > first_psnr + 3.0, (first_psnr, last_psnr)
+
+
+def test_aggr_modes(scene, view):
+    batch = _to_device(synthetic.make_batch(scene, view, n_rays=32))
+    for aggr in ("", "mean", "dist"):
+        spec = tiny_spec(aggr=aggr)
+        params = inb.init_params(jax.random.key(0), spec)
+        ret = render_rays(spec, RenderSpec(n_samples=8), params, batch,
+                          train=False, rng=jax.random.key(0))
+        assert np.isfinite(np.asarray(ret["rgb_map"])).all(), aggr
