@@ -1,0 +1,56 @@
+"""Benchmark: fused train-step throughput on the flagship (inb_377) config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference trains 3,000 steps x 1,024 rays in
+~5 minutes on one GPU ("minutes" headline, README.md:1) ->
+~10,240 rays/sec/device including data+eval overheads.  We measure pure
+train-step throughput at the same rays/step and samples/ray.
+"""
+import json
+import time
+
+BASELINE_RAYS_PER_SEC = 10240.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from instant_nvr_tpu.models import inb
+    from instant_nvr_tpu.train.state import TrainState, make_optimizer
+    from instant_nvr_tpu.train.step import make_train_step
+
+    cfg, mspec, rspec, lw, batch, _ = _flagship(tiny=False)
+    params = inb.init_params(jax.random.key(0), mspec)
+    opt, _ = make_optimizer(cfg)
+    state = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+    step = jax.jit(make_train_step(mspec, rspec, lw, opt), donate_argnums=(0,))
+
+    n_rays = int(batch["ray_o"].shape[0])
+    rngs = [jax.random.key(i) for i in range(8)]
+
+    # compile + warmup
+    for i in range(3):
+        state, stats = step(state, batch, rngs[i % 8])
+    jax.block_until_ready(stats["loss"])
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, stats = step(state, batch, rngs[i % 8])
+    jax.block_until_ready(stats["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_steps * n_rays / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,10 +58,23 @@ class Config:
 
     # -- mapping protocol -------------------------------------------------
     def __getattr__(self, name: str) -> Any:
+        # avoid recursion when copy/pickle probes dunders on a bare instance
+        if name.startswith("_"):
+            raise AttributeError(name)
         try:
-            return self._data[name]
+            data = object.__getattribute__(self, "_data")
+        except AttributeError:
+            raise AttributeError(name) from None
+        try:
+            return data[name]
         except KeyError:
             raise AttributeError(f"Config has no key {name!r}") from None
+
+    def __reduce__(self):
+        return (Config, (self.to_dict(),))
+
+    def __deepcopy__(self, memo):
+        return Config(self.to_dict())
 
     def __getitem__(self, name: str) -> Any:
         return self._data[name]

@@ -1,0 +1,146 @@
+"""Write a miniature ZJU-MoCap-format dataset to disk (for tests/smoke runs).
+
+Fabricates the exact on-disk contract the loader consumes (annots.npy,
+images + schp masks, per-frame SMPL vertices/params, lbs/ tree, smpl-meta)
+from the analytic sphere scene — so the full data pipeline and training loop
+can be exercised end-to-end without the real dataset.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .synthetic import _fibonacci_sphere, _sphere_color
+from .tpose_dataset import schp_palette
+
+NUM_BONES = 24
+
+
+def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
+                       n_verts: int = 300, H: int = 128, W: int = 128,
+                       radius: float = 0.3, seed: int = 0) -> dict:
+    import cv2
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    smpl_meta = os.path.join(root, "smpl-meta")
+    lbs = os.path.join(root, "smpl_lbs")
+    for d in ("images", "schp", "smpl_vertices", "smpl_params",
+              os.path.join("smpl_lbs", "bweights")):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    os.makedirs(smpl_meta, exist_ok=True)
+
+    verts0 = _fibonacci_sphere(n_verts, radius)
+
+    # SMPL meta: weights, parents, faces, joints
+    t = (verts0[:, 1] / radius + 1) / 2
+    weights = np.zeros((n_verts, NUM_BONES), np.float32)
+    bone = np.clip((t * 6).astype(int), 0, 5)
+    weights[np.arange(n_verts), bone] = 0.7
+    weights[np.arange(n_verts), (bone + 1) % NUM_BONES] = 0.3
+    np.save(os.path.join(smpl_meta, "weights.npy"), weights)
+    parents = np.concatenate([[0], np.arange(NUM_BONES - 1)]).astype(np.int64)
+    np.save(os.path.join(smpl_meta, "parents.npy"), parents)
+    np.save(os.path.join(smpl_meta, "faces.npy"),
+            rng.integers(0, n_verts, (2 * n_verts, 3)).astype(np.int64))
+    joints = rng.normal(size=(NUM_BONES, 3)).astype(np.float32) * 0.1
+    np.save(os.path.join(lbs, "joints.npy"), joints)
+    np.save(os.path.join(lbs, "parents.npy"), parents)
+
+    # canonical (bigpose) data over tbounds
+    np.save(os.path.join(lbs, "bigpose_vertices.npy"), verts0)
+    np.save(os.path.join(lbs, "bigpose_bw.npy"), weights)
+    g = 16
+    bounds = np.stack([verts0.min(0) - 0.05, verts0.max(0) + 0.05])
+    uvvol = rng.uniform(0, 1, (g, g, g, 2)).astype(np.float32)
+    np.save(os.path.join(root, "bigpose_uv.npy"), uvvol)
+
+    # cameras: ring around the sphere
+    cams = {"K": [], "D": [], "R": [], "T": []}
+    for v in range(n_views):
+        ang = 2 * np.pi * v / n_views
+        Rc, _ = cv2.Rodrigues(np.array([0.0, ang, 0.0]))
+        # camera center at distance 1.5 looking at origin
+        C = Rc.T @ np.array([0, 0, -1.5])
+        T = -Rc @ C
+        cams["K"].append(np.array([[2 * W, 0, W / 2], [0, 2 * H, H / 2], [0, 0, 1]], np.float64))
+        cams["D"].append(np.zeros((5, 1)))
+        cams["R"].append(Rc)
+        cams["T"].append(T.reshape(3, 1) * 1000.0)  # annots store mm
+
+    pal = schp_palette(20)
+    ims = []
+    for f in range(n_frames):
+        # mild per-frame translation = "pose"
+        Th = (0.02 * f * np.array([1.0, 0.0, 0.0], np.float32)).reshape(1, 3)
+        Rh = np.zeros((1, 3), np.float32)
+        wxyz = verts0 + Th
+        np.save(os.path.join(root, "smpl_vertices", f"{f}.npy"), wxyz)
+        np.save(os.path.join(root, "smpl_params", f"{f}.npy"),
+                {"Rh": Rh, "Th": Th.astype(np.float32),
+                 "poses": np.zeros((1, NUM_BONES * 3), np.float32)})
+
+        # per-frame bw volume with distance channel
+        pb = np.stack([wxyz.min(0) - Th[0] - 0.05, wxyz.max(0) - Th[0] + 0.05])
+        axes = [np.linspace(pb[0, d], pb[1, d], g) for d in range(3)]
+        gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+        gpts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+        dist = np.abs(np.linalg.norm(gpts, axis=-1) - radius)
+        vol = np.zeros((g, g, g, NUM_BONES + 1), np.float32)
+        vol[..., 0] = 1.0
+        vol[..., -1] = dist.reshape(g, g, g)
+        np.save(os.path.join(lbs, "bweights", f"{f}.npy"), vol)
+
+        frame_ims = []
+        for v in range(n_views):
+            K, Rc, Tc = cams["K"][v], cams["R"][v], cams["T"][v] / 1000.0
+            from ..ops.ray import get_rays_np
+            ro, rd = get_rays_np(H, W, K, Rc, Tc)
+            ro = ro.reshape(-1, 3) - Th  # sphere centered at Th in world
+            rd = rd.reshape(-1, 3)
+            b = np.sum(ro * rd, -1)
+            c = np.sum(ro * ro, -1) - radius * radius
+            disc = b * b - c
+            hit = disc > 0
+            t_hit = -b - np.sqrt(np.maximum(disc, 0))
+            pts = ro + rd * t_hit[:, None]
+            img = np.zeros((H * W, 3), np.float32)
+            img[hit] = _sphere_color(pts[hit])
+            img = (img.reshape(H, W, 3) * 255).astype(np.uint8)
+
+            rel = f"images/Cam{v}/{f:04d}.jpg"
+            os.makedirs(os.path.dirname(os.path.join(root, rel)), exist_ok=True)
+            cv2.imwrite(os.path.join(root, rel), img[..., ::-1])
+            # schp mask: body label (5) everywhere on the sphere
+            sem = np.zeros((H, W), np.uint8)
+            sem[hit.reshape(H, W)] = 5
+            sem_rgb = pal[sem]
+            mrel = rel.replace("images", "schp")[:-4] + ".png"
+            os.makedirs(os.path.dirname(os.path.join(root, mrel)), exist_ok=True)
+            cv2.imwrite(os.path.join(root, mrel), sem_rgb[..., ::-1])
+            frame_ims.append(rel)
+        ims.append({"ims": frame_ims})
+
+    np.save(os.path.join(root, "annots.npy"), {"cams": cams, "ims": ims})
+    return {"root": root, "n_frames": n_frames, "n_views": n_views}
+
+
+def fake_cfg_overrides(root: str, n_frames: int = 2) -> dict:
+    return {
+        "train_dataset": {"data_root": root, "human": "fake",
+                          "ann_file": os.path.join(root, "annots.npy"),
+                          "split": "train"},
+        "test_dataset": {"data_root": root, "human": "fake",
+                         "ann_file": os.path.join(root, "annots.npy"),
+                         "split": "test"},
+        "val_dataset": {"data_root": root, "human": "fake",
+                        "ann_file": os.path.join(root, "annots.npy"),
+                        "split": "val"},
+        "smpl_meta": os.path.join(root, "smpl-meta"),
+        "num_train_frame": n_frames,
+        "frame_interval": 1,
+        "training_view": [0],
+        "test_view": [1],
+        "ratio": 0.5,
+        "eval_ratio": 0.5,
+    }

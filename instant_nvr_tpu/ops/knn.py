@@ -42,10 +42,14 @@ def _knn_one_chunk(q: jnp.ndarray, verts: jnp.ndarray, values: jnp.ndarray,
     d = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))                   # (C, K) euclidean
 
     # gaussian-weighted aggregation (blend_utils.py:741-763)
-    w = jnp.exp(-(d * d) / (2.0 * radius * radius))
-    w = w / (jnp.sum(w, axis=-1, keepdims=True) + eps)
-    agg_dist = jnp.sum(d * w, axis=-1)                        # (C,)
-    sampled = values[idx]                                     # (C, K, D)
+    d_safe = jnp.where(jnp.isfinite(d), d, 1e10)
+    w = jnp.exp(-(d_safe * d_safe) / (2.0 * radius * radius))
+    w_sum = jnp.sum(w, axis=-1, keepdims=True)
+    w = w / (w_sum + eps)
+    agg_dist = jnp.sum(d_safe * w, axis=-1)                   # (C,)
+    # empty part (length==0): every candidate masked -> report "far away"
+    agg_dist = jnp.where(w_sum[..., 0] > 0.0, agg_dist, 1e10)
+    sampled = values[jnp.clip(idx, 0, values.shape[0] - 1)]   # (C, K, D)
     agg_val = jnp.sum(sampled * w[..., None], axis=-2)        # (C, D)
     return agg_val, agg_dist
 

@@ -85,7 +85,8 @@ def render_rays(mspec: inb.ModelSpec, rspec: RenderSpec, params,
             tocc = net["tocc"][..., 0]                       # (K, P)
             tflag = net["tflag"]
             score = jnp.where(tflag, jnp.abs(tocc - 0.5), jnp.inf).reshape(-1)
-            idx, valid = topk_select(score, rspec.pair_budget, rspec.pair_thresh)
+            budget = min(rspec.pair_budget, score.shape[0])
+            idx, valid = topk_select(score, budget, rspec.pair_thresh)
             tpts = net["tpts"].reshape(-1, 3)[idx]           # (B, 3)
             resd0 = net["resd"].reshape(-1, 3)[idx]
             noise = (jax.random.uniform(k_pair, tpts.shape, tpts.dtype) - 0.5) \

@@ -1,0 +1,67 @@
+"""Multi-device sharded training on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from instant_nvr_tpu.datasets import synthetic
+from instant_nvr_tpu.parallel import mesh as pmesh
+from instant_nvr_tpu.renderer.inb_renderer import RenderSpec
+from instant_nvr_tpu.train.state import TrainState
+from instant_nvr_tpu.train.step import LossWeights, make_train_step
+
+from test_model import tiny_spec
+from instant_nvr_tpu.models import inb
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_train_step_matches_single_device():
+    """One sharded step over 8 devices == one unsharded step (replicated
+    params, ray-sharded batch; XLA inserts the grad all-reduce)."""
+    spec = tiny_spec()
+    scene = synthetic.make_scene(n_verts=400, grid=16)
+    view = synthetic.render_gt(scene, H=32, W=32)
+    batch_np = synthetic.make_batch(scene, view, n_rays=256)
+
+    rspec = RenderSpec(n_samples=8, pair_budget=128, use_pair_reg=False,
+                       use_reg_distortion=False)
+    lw = LossWeights(use_pair=False, use_distortion=False)
+    opt = optax.adam(1e-3, eps=1e-15)
+    params = inb.init_params(jax.random.key(0), spec)
+    step_fn = make_train_step(spec, rspec, lw, opt)
+    rng = jax.random.key(42)
+
+    # single device
+    state1 = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state1, stats1 = jax.jit(step_fn)(state1, batch1, rng)
+
+    # 8-device mesh, ray-sharded
+    mesh = pmesh.make_mesh()
+    batch8 = pmesh.shard_batch(mesh, batch_np)
+    rep = pmesh.replicated(mesh)
+    params8 = jax.device_put(params, rep)
+    state8 = TrainState(jax.device_put(jnp.zeros((), jnp.int32), rep),
+                        params8, jax.device_put(opt.init(params), rep))
+    state8, stats8 = jax.jit(step_fn)(state8, batch8, rng)
+
+    np.testing.assert_allclose(float(stats1["loss"]), float(stats8["loss"]),
+                               rtol=2e-4)
+    # parameters after the update agree
+    l1 = jax.tree.leaves(state1.params)
+    l8 = jax.tree.leaves(state8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_pad_rays_to_multiple():
+    batch = {"ray_o": np.zeros((100, 3)), "ray_d": np.zeros((100, 3)),
+             "near": np.zeros(100), "far": np.ones(100),
+             "rgb": np.zeros((100, 3))}
+    out = pmesh.pad_rays_to_multiple(batch, 64)
+    assert out["ray_o"].shape[0] == 128
+    assert out["ray_mask"].sum() == 100
