@@ -1,0 +1,194 @@
+"""The training loop: epochs, stages, prefetch, eval/checkpoint cadence.
+
+Rebuild of ``train_net.py:78-180`` + ``lib/train/trainers/trainer.py``:
+  - per-epoch stage schedule (derived config views, not global mutation)
+  - ``ep_iter`` steps per epoch over a prefetching host pipeline
+  - periodic console/TensorBoard logging with ETA
+  - checkpoint every ``save_latest_ep`` (latest) / ``save_ep`` (numbered)
+  - validation every ``eval_ep`` via the chunked full-image renderer
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..datasets.prefetch import Prefetcher
+from ..datasets.samplers import IterationBasedSampler, shard_indices
+from ..datasets.tpose_dataset import TPoseDataset
+from ..eval.evaluator import Evaluator
+from ..models import inb
+from ..models.lpips import perceptual_loss
+from ..parallel import mesh as pmesh
+from ..renderer.inb_renderer import make_render_spec
+from .checkpoint import load_checkpoint, save_checkpoint
+from .recorder import Recorder
+from .stages import stage_for_epoch
+from .state import TrainState, create_train_state, make_optimizer
+from .step import make_loss_weights, make_train_step
+
+# batch keys the jitted step consumes (everything else stays on host)
+DEVICE_KEYS = ("rgb", "ray_o", "ray_d", "near", "far", "ray_mask", "occupancy",
+               "A", "big_A", "pbw", "pbw_sizes", "pbounds", "tbounds", "tuv",
+               "tuv_sizes", "part_pts", "part_pbw", "lengths2", "part_bounds",
+               "R", "Th", "latent_index", "frame_dim", "reg_dist_weight")
+
+
+def device_batch(item: Dict[str, np.ndarray], reg_dist_weight: float,
+                 shardings=None) -> Dict[str, jnp.ndarray]:
+    item = dict(item)
+    item["reg_dist_weight"] = np.float32(reg_dist_weight)
+    out = {k: item[k] for k in DEVICE_KEYS if k in item}
+    if shardings is not None:
+        return {k: jax.device_put(v, shardings.get(k)) for k, v in out.items()}
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+def make_patch_loss_fn(cfg):
+    """Image-space patch loss (LPIPS by default; inb_trainer.py:188-226)."""
+    size = cfg.patch_size
+    weights_path = cfg.get("lpips_weights", "")
+    kind = "lpips"
+    for k in ("lpips", "ssim", "fourier", "tv_image"):
+        if cfg.get(f"use_{k}", False):
+            kind = k
+            break
+
+    def fn(ret, batch):
+        mask = batch["ray_mask"][:, None]
+        img_pred = (ret["rgb_map"] * mask).reshape(size, size, 3)
+        img_gt = (batch["rgb"] * mask).reshape(size, size, 3)
+        if kind == "lpips":
+            return perceptual_loss(img_pred, img_gt, weights_path)
+        if kind == "ssim":
+            from ..ops.ssim import ssim_loss
+            mse = jnp.mean((img_pred - img_gt) ** 2)
+            return 0.1 * (1.0 - ssim_loss(img_pred, img_gt)) + mse
+        if kind == "fourier":
+            fp = jnp.fft.fft2(jnp.mean(img_pred, -1))
+            fg = jnp.fft.fft2(jnp.mean(img_gt, -1))
+            floss = jnp.mean(jnp.abs(jnp.abs(fp) - jnp.abs(fg))) + \
+                jnp.mean(jnp.abs(jnp.angle(fp) - jnp.angle(fg)))
+            return 0.1 * floss + jnp.mean((img_pred - img_gt) ** 2)
+        # tv_image
+        tv = jnp.mean(jnp.abs(img_pred[1:] - img_pred[:-1])) + \
+            jnp.mean(jnp.abs(img_pred[:, 1:] - img_pred[:, :-1]))
+        return 0.01 * tv + jnp.mean((img_pred - img_gt) ** 2)
+
+    return fn
+
+
+def train(cfg: Config, resume: bool = True,
+          max_epochs: Optional[int] = None) -> TrainState:
+    mspec = inb.build_model_spec(cfg)
+    rspec = make_render_spec(cfg)
+    lw = make_loss_weights(cfg)
+    opt, schedule = make_optimizer(cfg)
+    patch_fn = make_patch_loss_fn(cfg) if lw.use_patch else None
+
+    params = inb.init_params(jax.random.key(0), mspec)
+    state = create_train_state(params, opt)
+    recorder = Recorder(cfg.record_dir, resume=resume,
+                        enabled=jax.process_index() == 0)
+
+    begin_epoch = 0
+    if resume:
+        restored, meta = load_checkpoint(cfg.trained_model_dir, state)
+        if restored is not None:
+            state = restored
+            begin_epoch = int(meta.get("epoch", 0)) + 1
+            recorder.load_state_dict(meta)
+            print(f"resumed from epoch {begin_epoch - 1}")
+
+    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+    shardings = None
+    rep = None
+    if mesh is not None:
+        rep = pmesh.replicated(mesh)
+        state = jax.device_put(state, rep)
+
+    step_fn = jax.jit(make_train_step(mspec, rspec, lw, opt, patch_fn),
+                      donate_argnums=(0,))
+
+    n_epochs = max_epochs if max_epochs is not None else cfg.train.epoch
+    ep_iter = cfg.ep_iter
+    max_iter = n_epochs * ep_iter
+    rng_host = np.random.default_rng(0)
+
+    datasets: Dict[float, TPoseDataset] = {}
+
+    t_start = None
+    for epoch in range(begin_epoch, n_epochs):
+        ecfg = stage_for_epoch(cfg, epoch)
+        ratio = ecfg.ratio
+        if ratio not in datasets:
+            datasets[ratio] = TPoseDataset(ecfg, "train")
+        ds = datasets[ratio]
+        recorder.epoch = epoch
+
+        sampler = IterationBasedSampler(len(ds), ep_iter, seed=epoch)
+        indices = shard_indices(sampler.epoch(epoch), jax.process_index(),
+                                jax.process_count())
+
+        def produce(i, _ds=ds, _ecfg=ecfg):
+            item = _ds.get_item(i, ratio=_ecfg.ratio,
+                                sample_focus=_ecfg.get("sample_focus", ""),
+                                rng=rng_host)
+            return item
+
+        pf = Prefetcher(produce, indices, depth=8)
+        t_data = time.time()
+        for it, item in enumerate(pf):
+            if mesh is not None and shardings is None:
+                db = device_batch(item, ecfg.get("reg_dist_weight", 0.1))
+                shardings = pmesh.batch_shardings(mesh, db)
+            batch = device_batch(item, ecfg.get("reg_dist_weight", 0.1), shardings)
+            data_time = time.time() - t_data
+
+            rng = jax.random.fold_in(jax.random.key(1), epoch * ep_iter + it)
+            state, stats = step_fn(state, batch, rng)
+
+            if t_start is None:
+                jax.block_until_ready(stats["loss"])
+                t_start = time.time()
+
+            recorder.step += 1
+            if (it + 1) % cfg.log_interval == 0 or it == ep_iter - 1:
+                host_stats = {k: float(v) for k, v in stats.items()}
+                recorder.update(host_stats)
+                batch_time = (time.time() - t_start) / max(recorder.step - 1, 1)
+                lr = float(schedule(int(state.step)))
+                print(recorder.console_line(lr, max_iter, batch_time, data_time))
+                recorder.record("train")
+            t_data = time.time()
+
+        if jax.process_index() == 0:
+            if (epoch + 1) % cfg.save_latest_ep == 0 or epoch == n_epochs - 1:
+                save_checkpoint(cfg.trained_model_dir, epoch, state,
+                                recorder.state_dict())
+            if (epoch + 1) % cfg.save_ep == 0:
+                save_checkpoint(cfg.trained_model_dir, epoch, state,
+                                recorder.state_dict(), latest=False)
+
+        if (epoch + 1) % cfg.eval_ep == 0:
+            try:
+                validate(cfg, mspec, rspec, state.params, epoch)
+            except FileNotFoundError as e:
+                print(f"skipping val (no data): {e}")
+
+    if t_start is not None:
+        total = time.time() - t_start
+        print(f"training wall-clock (post-compile): {total:.1f}s")
+    recorder.close()
+    return state
+
+
+def validate(cfg: Config, mspec, rspec, params, epoch: int):
+    from ..eval.runner import evaluate_dataset
+    ecfg = cfg.replace(eval=True)
+    evaluate_dataset(ecfg, mspec, rspec, params, split="val", epoch=epoch,
+                     max_items=4)

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Eval / vis / utility CLI (type-dispatched like the reference ``run.py``).
+
+    python run.py --type evaluate --cfg_file configs/inb/inb_377.yaml
+    python run.py --type vis      ...   # novel-view rendering to video frames
+    python run.py --type tmesh    ...   # canonical-pose mesh via marching cubes
+    python run.py --type tdmesh   ...   # deformed canonical mesh
+    python run.py --type network  ...   # forward timing harness
+    python run.py --type dataset  ...   # data-pipeline smoke iteration
+"""
+import argparse
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg_file", default="configs/inb/inb_377.yaml")
+    p.add_argument("--type", default="evaluate")
+    p.add_argument("--epoch", type=int, default=-1)
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return p.parse_args()
+
+
+def _load(cfg):
+    import jax
+    from instant_nvr_tpu.models import inb
+    from instant_nvr_tpu.train.checkpoint import load_weights
+    mspec = inb.build_model_spec(cfg)
+    params = inb.init_params(jax.random.key(0), mspec)
+    try:
+        params = load_weights(cfg.trained_model_dir, params)
+        print(f"loaded weights from {cfg.trained_model_dir}")
+    except FileNotFoundError:
+        print("WARNING: no checkpoint found, using random init")
+    return mspec, params
+
+
+def run_evaluate(cfg):
+    from instant_nvr_tpu.eval.runner import evaluate_dataset
+    from instant_nvr_tpu.renderer.inb_renderer import make_render_spec
+    cfg = cfg.replace(eval=True)
+    mspec, params = _load(cfg)
+    evaluate_dataset(cfg, mspec, make_render_spec(cfg), params, split="test")
+
+
+def run_dataset(cfg):
+    from instant_nvr_tpu.datasets.tpose_dataset import TPoseDataset
+    import numpy as np
+    ds = TPoseDataset(cfg, "train")
+    t0 = time.time()
+    for i in range(min(len(ds), 8)):
+        item = ds.get_item(i, rng=np.random.default_rng(i))
+        print(f"item {i}: rays={item['ray_o'].shape} H={item['H']} W={item['W']}")
+    print(f"{min(len(ds), 8)} items in {time.time() - t0:.2f}s")
+
+
+def run_network(cfg):
+    """Forward-pass timing harness (reference run.py:16-40)."""
+    import jax
+    import jax.numpy as jnp
+    from instant_nvr_tpu.datasets import synthetic
+    from instant_nvr_tpu.renderer.inb_renderer import make_render_spec, render_rays
+    mspec, params = _load(cfg)
+    rspec = make_render_spec(cfg)
+    scene = synthetic.make_scene()
+    view = synthetic.render_gt(scene, H=128, W=128)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic.make_batch(scene, view, n_rays=cfg.N_rand).items()}
+    fn = jax.jit(lambda p, b, r: render_rays(mspec, rspec, p, b, False, r)["rgb_map"])
+    rng = jax.random.key(0)
+    out = fn(params, batch, rng)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    n = 20
+    for i in range(n):
+        out = fn(params, batch, rng)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n
+    print(f"forward: {dt * 1000:.2f} ms  ({cfg.N_rand / dt:.0f} rays/s)")
+
+
+def run_vis(cfg):
+    from instant_nvr_tpu.eval.visualizer import render_novel_views
+    mspec, params = _load(cfg)
+    render_novel_views(cfg, mspec, params)
+
+
+def run_tmesh(cfg, deformed=False):
+    from instant_nvr_tpu.eval.mesh import extract_mesh
+    mspec, params = _load(cfg)
+    out = os.path.join(cfg.result_dir, "tdmesh" if deformed else "tmesh")
+    extract_mesh(cfg, mspec, params, out, deformed=deformed)
+
+
+def main():
+    args = parse_args()
+    from instant_nvr_tpu.config import make_cfg
+    cfg = make_cfg(args.cfg_file, args.opts)
+    if args.epoch >= 0:
+        cfg = cfg.replace(test=cfg.test.replace(epoch=args.epoch))
+
+    dispatch = {
+        "evaluate": run_evaluate,
+        "dataset": run_dataset,
+        "network": run_network,
+        "vis": run_vis,
+        "bullet": run_vis,
+        "tmesh": lambda c: run_tmesh(c, deformed=False),
+        "tdmesh": lambda c: run_tmesh(c, deformed=True),
+    }
+    if args.type not in dispatch:
+        raise SystemExit(f"unknown --type {args.type}; one of {list(dispatch)}")
+    dispatch[args.type](cfg)
+
+
+if __name__ == "__main__":
+    main()

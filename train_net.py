@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Train CLI.
+
+Usage mirrors the reference (``train_net.py:209-240``):
+
+    python train_net.py --cfg_file configs/inb/inb_377.yaml [key value ...]
+
+Flags: --test (run eval after training), --dry_run (print the parameter
+inventory and exit), --no_resume (start fresh).
+"""
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_file", default="configs/inb/inb_377.yaml")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--dry_run", action="store_true")
+    parser.add_argument("--no_resume", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of the first steps")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = parser.parse_args()
+
+    from instant_nvr_tpu.config import make_cfg
+    cfg = make_cfg(args.cfg_file, args.opts)
+
+    import jax
+    from instant_nvr_tpu.models import inb
+
+    if args.dry_run:
+        mspec = inb.build_model_spec(cfg)
+        params = inb.init_params(jax.random.key(0), mspec)
+        total = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            n = 1
+            for d in leaf.shape:
+                n *= d
+            total += n
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            print(f"{name:60s} {str(leaf.shape):>20s} {n:>12,d}")
+        print(f"total parameters: {total:,d}")
+        return
+
+    from instant_nvr_tpu.train.loop import train
+    if args.profile:
+        import os
+        jax.profiler.start_trace(os.path.join(cfg.record_dir, "profile"))
+    state = train(cfg, resume=not args.no_resume)
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    if args.test:
+        from instant_nvr_tpu.eval.runner import evaluate_dataset
+        from instant_nvr_tpu.renderer.inb_renderer import make_render_spec
+        mspec = inb.build_model_spec(cfg)
+        evaluate_dataset(cfg.replace(eval=True), mspec, make_render_spec(cfg),
+                         state.params, split="test")
+
+
+if __name__ == "__main__":
+    main()
