@@ -23,7 +23,7 @@ def main():
     from instant_nvr_tpu.train.step import make_train_step
 
     cfg, mspec, rspec, lw, batch, _ = _flagship(tiny=False)
-    params = inb.init_params(jax.random.key(0), mspec)
+    params = jax.jit(lambda k: inb.init_params(k, mspec))(jax.random.key(0))
     opt, _ = make_optimizer(cfg)
     state = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
     step = jax.jit(make_train_step(mspec, rspec, lw, opt), donate_argnums=(0,))

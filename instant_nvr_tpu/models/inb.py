@@ -206,49 +206,57 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     part_dist = jax.lax.stop_gradient(knn[..., 24])          # (K, P)
     pflag = (part_dist < spec.smpl_thresh) & cvalid[:, None]  # (K, P)
 
-    # 4. inverse LBS pose -> tpose, forward LBS tpose -> bigpose
+    # 4. per-part fixed-budget selection FIRST — LBS / deformation / embedding
+    #    then run only on the (P, Kp) selected points instead of all K*P
+    #    part-expanded points (halves the deformer+LBS work vs the reference
+    #    layout, which expands every culled point to every part)
+    Kp = _round_budget(spec.part_frac * K)
+    Kp = min(Kp, K)
+    part_idx, part_valid = [], []
+    for p in range(P):
+        score = jnp.where(pflag[:, p], part_dist[:, p], jnp.inf)
+        idx_p, valid_p = topk_select(score, Kp, spec.smpl_thresh)
+        part_idx.append(idx_p)
+        part_valid.append(valid_p)
+    part_idx = jnp.stack(part_idx)             # (P, Kp)
+    part_valid = jnp.stack(part_valid)         # (P, Kp)
+
+    sel_pts = cpts[part_idx]                   # (P, Kp, 3)
+    sel_dirs = cdirs[part_idx]                 # (P, Kp, 3)
+    # blend weights per (part, point): pred_pbw is (K, P, 24)
+    sel_bw = jnp.stack([pred_pbw[part_idx[p], p] for p in range(P)])  # (P, Kp, 24)
+
+    # 5. inverse LBS pose -> tpose -> bigpose on the selected points
     #    (inb_part_network_multiassign.py:98-102)
-    bw = pred_pbw.reshape(1, K * P, 24)
+    bw = sel_bw.reshape(1, P * Kp, 24)
     A_bw, R_inv = lbs.inverse_blend_params(bw, batch["A"][None])
     big_A_bw = lbs.blend_transforms(bw, batch["big_A"][None])
-    pts_ext = jnp.broadcast_to(cpts[:, None, :], (K, P, 3)).reshape(1, K * P, 3)
-    init_tpose = lbs.pose_points_to_tpose_points(pts_ext, A_bw, R_inv)
-    init_bigpose = lbs.tpose_points_to_pose_points(init_tpose, big_A_bw)[0]  # (K*P, 3)
+    init_tpose = lbs.pose_points_to_tpose_points(
+        sel_pts.reshape(1, P * Kp, 3), A_bw, R_inv)
+    init_bigpose = lbs.tpose_points_to_pose_points(init_tpose, big_A_bw)[0]  # (P*Kp, 3)
 
     if spec.tpose_viewdir:
-        dirs_ext = jnp.broadcast_to(cdirs[:, None, :], (K, P, 3)).reshape(1, K * P, 3)
-        init_tdirs = lbs.pose_dirs_to_tpose_dirs(dirs_ext, R_inv)
-        tdirs = lbs.tpose_dirs_to_pose_dirs(init_tdirs, big_A_bw)[0].reshape(K, P, 3)
+        init_tdirs = lbs.pose_dirs_to_tpose_dirs(
+            sel_dirs.reshape(1, P * Kp, 3), R_inv)
+        dirs_sel = lbs.tpose_dirs_to_pose_dirs(init_tdirs, big_A_bw)[0] \
+            .reshape(P, Kp, 3)
     else:
-        tdirs = jnp.broadcast_to(cdirs[:, None, :], (K, P, 3))
+        dirs_sel = sel_dirs
 
-    # 5. residual deformation (uv_deformer.py)
-    flat_flag = pflag.reshape(K * P)
+    # 6. residual deformation (uv_deformer.py) on selected points only
+    flat_flag = part_valid.reshape(P * Kp)
     resd = deformer_apply(spec.deformer, params["deformer"], init_bigpose,
                           batch["tuv"], batch["tbounds"], batch["frame_dim"],
                           flag=flat_flag, tuv_sizes=batch.get("tuv_sizes"),
                           compute_dtype=cd)
-    tpose = (init_bigpose + resd).reshape(K, P, 3)
+    tpose_sel = (init_bigpose + resd).reshape(P, Kp, 3)
 
-    # 6. per-part fixed-budget selection + hash embed
-    Kp = _round_budget(spec.part_frac * K)
-    Kp = min(Kp, K)
+    # hash embed per part (tables differ per part -> static unroll)
     part_bounds = batch["part_bounds"]         # (P, 2, 3)
-    part_idx, part_valid, embeds, dirs_sel = [], [], [], []
-    for p, name in enumerate(spec.partnames):
-        score = jnp.where(pflag[:, p], part_dist[:, p], jnp.inf)
-        idx_p, valid_p = topk_select(score, Kp, spec.smpl_thresh)
-        xyz_p = tpose[idx_p, p]                # (Kp, 3)
-        emb = hashgrid_encode(spec.part_embeds[p], params["embed"][name],
-                              xyz_p, part_bounds[p])
-        part_idx.append(idx_p)
-        part_valid.append(valid_p)
-        embeds.append(emb)
-        dirs_sel.append(tdirs[idx_p, p])
-    part_idx = jnp.stack(part_idx)             # (P, Kp)
-    part_valid = jnp.stack(part_valid)         # (P, Kp)
-    embeds = jnp.stack(embeds)                 # (P, Kp, E)
-    dirs_sel = jnp.stack(dirs_sel)             # (P, Kp, 3)
+    embeds = jnp.stack([
+        hashgrid_encode(spec.part_embeds[p], params["embed"][name],
+                        tpose_sel[p], part_bounds[p])
+        for p, name in enumerate(spec.partnames)])  # (P, Kp, E)
 
     # 7. stacked occ MLP over the part axis (part_base_network.py:44-53)
     hidden = jax.vmap(lambda lp, x: mlp_apply(lp, x, cd))(params["occ"], embeds)
@@ -299,10 +307,11 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     ret = {"raw": raw_full, "occ": occ_full}
     if train:
         ret.update({
-            "resd": resd.reshape(K, P, 3),
-            "tpts": init_bigpose.reshape(K, P, 3),
-            "tocc": occs,
-            "tflag": pflag,
+            # selected-point tensors, all (P, Kp, ...), masked by part_valid
+            "resd": resd.reshape(P, Kp, 3),
+            "tpts": init_bigpose.reshape(P, Kp, 3),
+            "tocc": occ_p,               # (P, Kp, 1)
+            "tflag": part_valid,         # (P, Kp)
             "cull_valid": cvalid,
         })
     return ret

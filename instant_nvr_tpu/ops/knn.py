@@ -23,8 +23,12 @@ import jax.numpy as jnp
 from .lbs import NUM_BONES
 
 
+_FAR = 1e9  # finite sentinel for masked slots (inf poisons approx_min_k bins)
+
+
 def _knn_one_chunk(q: jnp.ndarray, verts: jnp.ndarray, values: jnp.ndarray,
-                   length: jnp.ndarray, K: int, radius: float, eps: float):
+                   length: jnp.ndarray, K: int, radius: float, eps: float,
+                   exact: bool = False):
     """q (C, 3), verts (M, 3), values (M, D), length scalar -> (C, D), (C,)."""
     # squared distances via MXU-friendly matmul
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)               # (C, 1)
@@ -36,19 +40,28 @@ def _knn_one_chunk(q: jnp.ndarray, verts: jnp.ndarray, values: jnp.ndarray,
     d2 = q2 + v2 - 2.0 * qv                                   # (C, M)
     M = verts.shape[0]
     valid = jnp.arange(M, dtype=jnp.int32)[None, :] < length  # (1, M)
-    d2 = jnp.where(valid, d2, jnp.inf)
+    d2 = jnp.where(valid, d2, _FAR)
 
-    neg_d2, idx = jax.lax.top_k(-d2, K)                       # (C, K)
-    d = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))                   # (C, K) euclidean
+    if exact:
+        neg_d2, idx = jax.lax.top_k(-d2, K)
+        min_d2 = -neg_d2
+    else:
+        # approx_min_k: TPU-native partial reduction — avoids the full-row
+        # bitonic sort lax.top_k would lower to (recall ~1 at these sizes)
+        min_d2, idx = jax.lax.approx_min_k(d2, K, recall_target=0.95)
+    d = jnp.sqrt(jnp.maximum(min_d2, 0.0))                    # (C, K) euclidean
 
     # gaussian-weighted aggregation (blend_utils.py:741-763)
-    d_safe = jnp.where(jnp.isfinite(d), d, 1e10)
+    d_safe = jnp.minimum(d, 1e10)
     w = jnp.exp(-(d_safe * d_safe) / (2.0 * radius * radius))
-    w_sum = jnp.sum(w, axis=-1, keepdims=True)
-    w = w / (w_sum + eps)
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + eps)
     agg_dist = jnp.sum(d_safe * w, axis=-1)                   # (C,)
-    # empty part (length==0): every candidate masked -> report "far away"
-    agg_dist = jnp.where(w_sum[..., 0] > 0.0, agg_dist, 1e10)
+    # "far" rule: nearest neighbor beyond 8*radius (w < 1e-14, far outside
+    # any thresholding) -> report a large distance.  NOTE deviation from the
+    # reference, which lets the gaussian underflow to 0/0 and reports
+    # distance *0* for far points, accidentally flagging them into the part
+    # (blend_utils.py:747-749).
+    agg_dist = jnp.where(d_safe[..., 0] <= 8.0 * radius, agg_dist, 1e6)
     sampled = values[jnp.clip(idx, 0, values.shape[0] - 1)]   # (C, K, D)
     agg_val = jnp.sum(sampled * w[..., None], axis=-2)        # (C, D)
     return agg_val, agg_dist
@@ -58,7 +71,8 @@ def knn_blend_weights_multiassign(query: jnp.ndarray, part_pts: jnp.ndarray,
                                   part_pbw: jnp.ndarray, lengths: jnp.ndarray,
                                   K: int = 4, radius: float = 0.075,
                                   eps: float = 1e-8,
-                                  chunk: int = 1024) -> jnp.ndarray:
+                                  chunk: int = 1024,
+                                  exact: bool = False) -> jnp.ndarray:
     """Per-part KNN blend weights for every query point.
 
     query: (N, 3); part_pts: (P, M, 3) zero-padded; part_pbw: (P, M, 24);
@@ -75,7 +89,7 @@ def knn_blend_weights_multiassign(query: jnp.ndarray, part_pts: jnp.ndarray,
 
     def per_chunk(qc):
         def per_part(verts, vals, ln):
-            return _knn_one_chunk(qc, verts, vals, ln, K, radius, eps)
+            return _knn_one_chunk(qc, verts, vals, ln, K, radius, eps, exact)
         bw, d = jax.vmap(per_part)(part_pts, part_pbw, lengths)  # (P, C, 24), (P, C)
         return bw, d
 

@@ -18,7 +18,10 @@ def np_oracle(query, part_pts, part_pbw, lengths, K=4, radius=0.075, eps=1e-8):
         w = np.exp(-d ** 2 / (2 * radius ** 2))
         w = w / (w.sum(-1, keepdims=True) + eps)
         out[:, p, :24] = np.einsum("nkd,nk->nd", vals[idx], w)
-        out[:, p, 24] = (d * w).sum(-1)
+        # same "far" rule as the implementation: nearest neighbor beyond
+        # 8*radius -> large distance (deviation from the reference's
+        # underflow-to-zero quirk, see ops/knn.py)
+        out[:, p, 24] = np.where(d[:, 0] <= 8 * radius, (d * w).sum(-1), 1e6)
     return out
 
 
@@ -35,9 +38,16 @@ def test_knn_vs_oracle(rng):
 
     got = np.asarray(knn_blend_weights_multiassign(
         jnp.array(query), jnp.array(part_pts), jnp.array(part_pbw),
-        jnp.array(lengths), K=4, radius=0.075, chunk=128))
+        jnp.array(lengths), K=4, radius=0.075, chunk=128, exact=True))
     want = np_oracle(query, part_pts, part_pbw, lengths)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    # the TPU-fast approx path must agree on nearly all entries
+    approx = np.asarray(knn_blend_weights_multiassign(
+        jnp.array(query), jnp.array(part_pts), jnp.array(part_pbw),
+        jnp.array(lengths), K=4, radius=0.075, chunk=128, exact=False))
+    agree = np.isclose(approx, want, rtol=1e-2, atol=1e-3).mean()
+    assert agree > 0.97, agree
 
 
 def test_knn_chunking_invariance(rng):
