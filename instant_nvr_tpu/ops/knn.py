@@ -23,12 +23,26 @@ import jax.numpy as jnp
 from .lbs import NUM_BONES
 
 
-_FAR = 1e9  # finite sentinel for masked slots (inf poisons approx_min_k bins)
+_FAR = 1e9  # finite sentinel for masked slots
+
+
+def _iter_min_k(d2: jnp.ndarray, K: int):
+    """Exact K smallest per row by repeated argmin.  d2 (C, M) -> (C, K) x2."""
+    C = d2.shape[0]
+    rows = jnp.arange(C)
+    vals, idxs = [], []
+    for _ in range(K):
+        i = jnp.argmin(d2, axis=-1)            # (C,)
+        v = jnp.take_along_axis(d2, i[:, None], axis=-1)[:, 0]
+        vals.append(v)
+        idxs.append(i)
+        d2 = d2.at[rows, i].set(_FAR * 2.0)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
 def _knn_one_chunk(q: jnp.ndarray, verts: jnp.ndarray, values: jnp.ndarray,
                    length: jnp.ndarray, K: int, radius: float, eps: float,
-                   exact: bool = False):
+                   exact: bool = True):  # kept for API stability; always exact
     """q (C, 3), verts (M, 3), values (M, D), length scalar -> (C, D), (C,)."""
     # squared distances via MXU-friendly matmul
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)               # (C, 1)
@@ -42,13 +56,10 @@ def _knn_one_chunk(q: jnp.ndarray, verts: jnp.ndarray, values: jnp.ndarray,
     valid = jnp.arange(M, dtype=jnp.int32)[None, :] < length  # (1, M)
     d2 = jnp.where(valid, d2, _FAR)
 
-    if exact:
-        neg_d2, idx = jax.lax.top_k(-d2, K)
-        min_d2 = -neg_d2
-    else:
-        # approx_min_k: TPU-native partial reduction — avoids the full-row
-        # bitonic sort lax.top_k would lower to (recall ~1 at these sizes)
-        min_d2, idx = jax.lax.approx_min_k(d2, K, recall_target=0.95)
+    # exact k-smallest via K argmin passes: K=4 passes over (C, M) beat the
+    # full bitonic sort lax.top_k lowers to, and compile fast (approx_min_k
+    # compiles pathologically slowly on some TPU toolchains)
+    min_d2, idx = _iter_min_k(d2, K)
     d = jnp.sqrt(jnp.maximum(min_d2, 0.0))                    # (C, K) euclidean
 
     # gaussian-weighted aggregation (blend_utils.py:741-763)
@@ -65,6 +76,35 @@ def _knn_one_chunk(q: jnp.ndarray, verts: jnp.ndarray, values: jnp.ndarray,
     sampled = values[jnp.clip(idx, 0, values.shape[0] - 1)]   # (C, K, D)
     agg_val = jnp.sum(sampled * w[..., None], axis=-2)        # (C, D)
     return agg_val, agg_dist
+
+
+def _aggregate(d: jnp.ndarray, idx: jnp.ndarray, part_pbw: jnp.ndarray,
+               radius: float, eps: float) -> jnp.ndarray:
+    """(P, C, K) dists/indices + (P, M, D) values -> (C, P, 25)."""
+    d_safe = jnp.minimum(d, 1e10)
+    w = jnp.exp(-(d_safe * d_safe) / (2.0 * radius * radius))
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + eps)
+    agg_dist = jnp.sum(d_safe * w, axis=-1)                   # (P, C)
+    agg_dist = jnp.where(jnp.min(d_safe, axis=-1) <= 8.0 * radius,
+                         agg_dist, 1e6)
+    M = part_pbw.shape[1]
+    sampled = jax.vmap(lambda vals, i: vals[jnp.clip(i, 0, M - 1)])(
+        part_pbw, idx)                                        # (P, C, K, D)
+    agg_val = jnp.sum(sampled * w[..., None], axis=-2)        # (P, C, D)
+    out = jnp.concatenate([agg_val, agg_dist[..., None]], axis=-1)
+    return jnp.swapaxes(out, 0, 1)                            # (C, P, 25)
+
+
+def knn_blend_weights_multiassign_pallas(query, part_pts, part_pbw, lengths,
+                                         K: int = 4, radius: float = 0.075,
+                                         eps: float = 1e-8,
+                                         interpret: bool = False) -> jnp.ndarray:
+    """Pallas-fused variant (see ops/pallas/knn_pallas.py)."""
+    from .pallas.knn_pallas import knn_topk_pallas
+    d2, idx = knn_topk_pallas(query, part_pts, lengths, K=K,
+                              interpret=interpret)             # (P, C, K)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    return _aggregate(d, idx, part_pbw, radius, eps)
 
 
 def knn_blend_weights_multiassign(query: jnp.ndarray, part_pts: jnp.ndarray,

@@ -152,19 +152,33 @@ def train(cfg: Config, resume: bool = True,
             rng = jax.random.fold_in(jax.random.key(1), epoch * ep_iter + it)
             state, stats = step_fn(state, batch, rng)
 
+            if ecfg.get("sample_using_mse", False):
+                if ds.error_map is None:
+                    ds.init_error_map(int(item["H"]), int(item["W"]))
+                    ds.load_error_map(cfg.result_dir)
+                ds.update_error_map(item["coord"],
+                                    np.asarray(stats["ray_error"]),
+                                    item["frame_index"], item["cam_ind"])
+
             if t_start is None:
                 jax.block_until_ready(stats["loss"])
                 t_start = time.time()
 
             recorder.step += 1
             if (it + 1) % cfg.log_interval == 0 or it == ep_iter - 1:
-                host_stats = {k: float(v) for k, v in stats.items()}
+                host_stats = {k: float(v) for k, v in stats.items()
+                              if getattr(v, "ndim", 0) == 0}
                 recorder.update(host_stats)
                 batch_time = (time.time() - t_start) / max(recorder.step - 1, 1)
                 lr = float(schedule(int(state.step)))
                 print(recorder.console_line(lr, max_iter, batch_time, data_time))
                 recorder.record("train")
             t_data = time.time()
+
+        if ecfg.get("sample_using_mse", False) and ds.error_map is not None:
+            import os
+            os.makedirs(cfg.result_dir, exist_ok=True)
+            ds.save_error_map(cfg.result_dir)
 
         if jax.process_index() == 0:
             if (epoch + 1) % cfg.save_latest_ep == 0 or epoch == n_epochs - 1:

@@ -96,6 +96,10 @@ def compute_losses(mspec: inb.ModelSpec, rspec: RenderSpec, lw: LossWeights,
         loss = loss + lw.resd * ol
 
     stats["loss"] = loss
+    # per-ray error for MSE-guided sampling (reference inb_trainer.py:183,
+    # consumed by tpose_dataset.update_global) — non-scalar, host strips it
+    stats["ray_error"] = jax.lax.stop_gradient(
+        jnp.sum(jnp.abs(ret["rgb_map"] - rgb_gt), axis=-1))
     return loss, stats
 
 

@@ -86,6 +86,22 @@ def run_vis(cfg):
     render_novel_views(cfg, mspec, params)
 
 
+def run_prune(cfg):
+    """Write the occupancy grid to result_dir/latest.npy — the geometry-
+    pruning artifact the dataset's ``prune_using_geo`` sampling consumes
+    (reference run.py:137-164 + tpose_dataset.py:512-527)."""
+    import numpy as np
+    from instant_nvr_tpu.eval.mesh import occupancy_grid
+    from instant_nvr_tpu.datasets.tpose_dataset import TPoseDataset
+    mspec, params = _load(cfg)
+    ds = TPoseDataset(cfg, "test")
+    item = ds.get_item(0)
+    occ, _ = occupancy_grid(cfg, mspec, params, item, deformed=False, res=128)
+    os.makedirs(cfg.result_dir, exist_ok=True)
+    np.save(os.path.join(cfg.result_dir, "latest.npy"), occ)
+    print(f"wrote {cfg.result_dir}/latest.npy")
+
+
 def run_tmesh(cfg, deformed=False):
     from instant_nvr_tpu.eval.mesh import extract_mesh
     mspec, params = _load(cfg)
@@ -106,6 +122,7 @@ def main():
         "network": run_network,
         "vis": run_vis,
         "bullet": run_vis,
+        "prune": run_prune,
         "tmesh": lambda c: run_tmesh(c, deformed=False),
         "tdmesh": lambda c: run_tmesh(c, deformed=True),
     }

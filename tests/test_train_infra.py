@@ -1,0 +1,76 @@
+"""Stages, LR schedule, recorder, loss weights, freq embedder."""
+import numpy as np
+import jax.numpy as jnp
+
+from instant_nvr_tpu.config import default_config
+from instant_nvr_tpu.models.embedders import freq_encode, freq_out_dim
+from instant_nvr_tpu.train.recorder import Recorder, SmoothedValue
+from instant_nvr_tpu.train.stages import stage_for_epoch
+from instant_nvr_tpu.train.state import make_lr_schedule
+from instant_nvr_tpu.train.step import make_loss_weights
+
+
+def test_stage_schedule_matches_reference_semantics():
+    cfg = default_config().merged({
+        "ratio": 0.5,
+        "training_stages": [
+            {"ratio": 0.3, "_start": 0},
+            {"ratio": 0.5, "sample_focus": "head", "_start": 2},
+            {"ratio": 0.5, "sample_focus": "", "reg_dist_weight": 1.0, "_start": 4},
+        ],
+    })
+    assert stage_for_epoch(cfg, 0).ratio == 0.3
+    assert stage_for_epoch(cfg, 1).ratio == 0.3
+    s2 = stage_for_epoch(cfg, 2)
+    assert s2.ratio == 0.5 and s2.sample_focus == "head"
+    s4 = stage_for_epoch(cfg, 5)
+    assert s4.sample_focus == "" and s4.reg_dist_weight == 1.0
+    # cfg itself untouched (no global mutation)
+    assert cfg.ratio == 0.5
+
+
+def test_exponential_lr_schedule():
+    # reference: lr * gamma**(epoch/decay_epochs), stepped per epoch
+    sched = make_lr_schedule(5e-4, gamma=0.1, decay_epochs=1000, ep_iter=500)
+    np.testing.assert_allclose(float(sched(0)), 5e-4)
+    np.testing.assert_allclose(float(sched(499)), 5e-4)          # same epoch
+    np.testing.assert_allclose(float(sched(500)), 5e-4 * 0.1 ** (1 / 1000))
+    np.testing.assert_allclose(float(sched(2999)), 5e-4 * 0.1 ** (5 / 1000))
+
+
+def test_smoothed_value():
+    sv = SmoothedValue(window=3)
+    for v in [1, 2, 3, 100]:
+        sv.update(v)
+    assert sv.median == 3  # median of last 3: [2, 3, 100]
+    assert sv.global_avg == 106 / 4
+
+
+def test_recorder_disabled_noop(tmp_path):
+    r = Recorder(str(tmp_path / "rec"), enabled=False)
+    r.update({"loss": 1.0})
+    r.record()
+    assert r.state_dict() == {"step": 0, "epoch": 0}
+
+
+def test_loss_weights_from_cfg():
+    cfg = default_config().merged({"use_lpips": True, "pair_loss_weight": 10.0})
+    lw = make_loss_weights(cfg)
+    assert lw.use_patch and lw.patch_kind == "lpips"
+    assert lw.pair == 10.0
+    cfg2 = default_config()
+    assert not make_loss_weights(cfg2).use_patch
+
+
+def test_freq_encode_reference_semantics():
+    # out_dim = D + multires*2*D; layout [x, sin(2^i x)..., cos(2^i x)...]
+    x = jnp.array([[0.5, -0.25, 1.0]])
+    out = np.asarray(freq_encode(x, multires=4))
+    assert out.shape == (1, freq_out_dim(4, 3)) == (1, 27)
+    np.testing.assert_allclose(out[0, :3], [0.5, -0.25, 1.0], atol=1e-6)
+    # level 0 sin block
+    np.testing.assert_allclose(out[0, 3:6], np.sin([0.5, -0.25, 1.0]), atol=1e-6)
+    np.testing.assert_allclose(out[0, 6:9], np.cos([0.5, -0.25, 1.0]), atol=1e-6)
+    # level 3 (freq 8) blocks
+    np.testing.assert_allclose(out[0, 21:24], np.sin(8 * np.array([0.5, -0.25, 1.0])),
+                               atol=1e-5)
