@@ -55,6 +55,7 @@ class ModelSpec(NamedTuple):
     knn_k: int
     knn_radius: float
     knn_chunk: int
+    knn_backend: str            # 'auto' | 'pallas' | 'xla'
     cull_frac: float
     part_frac: float
     tpose_viewdir: bool
@@ -112,6 +113,7 @@ def build_model_spec(cfg) -> ModelSpec:
         knn_k=cfg.knn_k,
         knn_radius=cfg.knn_radius,
         knn_chunk=cfg.knn_chunk,
+        knn_backend=cfg.get("knn_backend", "auto"),
         cull_frac=cfg.cull_budget,
         part_frac=cfg.part_budget,
         tpose_viewdir=cfg.tpose_viewdir,
@@ -198,10 +200,19 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     cdirs = pose_dirs[cidx]
 
     # 3. per-part KNN blend weights (blend_utils.py:817-825), no grad
-    knn = knn_blend_weights_multiassign(
-        jax.lax.stop_gradient(cpts), batch["part_pts"], batch["part_pbw"],
-        batch["lengths2"], K=spec.knn_k, radius=spec.knn_radius,
-        chunk=spec.knn_chunk)                  # (K, P, 25)
+    backend = spec.knn_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    if backend == "pallas":
+        from ..ops.knn import knn_blend_weights_multiassign_pallas
+        knn = knn_blend_weights_multiassign_pallas(
+            jax.lax.stop_gradient(cpts), batch["part_pts"], batch["part_pbw"],
+            batch["lengths2"], K=spec.knn_k, radius=spec.knn_radius)
+    else:
+        knn = knn_blend_weights_multiassign(
+            jax.lax.stop_gradient(cpts), batch["part_pts"], batch["part_pbw"],
+            batch["lengths2"], K=spec.knn_k, radius=spec.knn_radius,
+            chunk=spec.knn_chunk)              # (K, P, 25)
     pred_pbw = jax.lax.stop_gradient(knn[..., :24])
     part_dist = jax.lax.stop_gradient(knn[..., 24])          # (K, P)
     pflag = (part_dist < spec.smpl_thresh) & cvalid[:, None]  # (K, P)

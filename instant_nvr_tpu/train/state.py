@@ -41,7 +41,15 @@ def make_optimizer(cfg):
                       for m in sched_cfg.milestones}
         schedule = optax.piecewise_constant_schedule(cfg.train.lr, boundaries)
 
-    opt = optax.adam(schedule, eps=cfg.train.eps)
+    optim = cfg.train.get("optim", "adam")
+    if optim == "adam":
+        opt = optax.adam(schedule, eps=cfg.train.eps)
+    elif optim == "radam":
+        opt = optax.radam(schedule, eps=cfg.train.eps)
+    elif optim == "sgd":
+        opt = optax.sgd(schedule, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {optim!r}")
     if cfg.train.weight_decay:
         opt = optax.chain(optax.add_decayed_weights(cfg.train.weight_decay), opt)
 

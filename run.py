@@ -86,6 +86,38 @@ def run_vis(cfg):
     render_novel_views(cfg, mspec, params)
 
 
+def run_exportdecoder(cfg):
+    """Export per-part decoder (MLP) weights (reference run.py:42-58)."""
+    import numpy as np
+    import jax
+    mspec, params = _load(cfg)
+    out = os.path.join(cfg.result_dir, "decoders")
+    os.makedirs(out, exist_ok=True)
+    flat = {}
+    for j, layer in enumerate(params["occ"]):
+        flat[f"occ_{j}_w"] = np.asarray(layer["w"])
+        flat[f"occ_{j}_b"] = np.asarray(layer["b"])
+    for key, layers in params["rgb"].items():
+        for j, layer in enumerate(layers):
+            flat[f"rgb_{key}_{j}_w"] = np.asarray(layer["w"])
+            flat[f"rgb_{key}_{j}_b"] = np.asarray(layer["b"])
+    flat["latent"] = np.asarray(params["latent"])
+    np.savez(os.path.join(out, "decoders.npz"), **flat)
+    print(f"wrote {out}/decoders.npz")
+
+
+def run_exportpart(cfg):
+    """Export per-part hash tables (reference run_exportpart)."""
+    import numpy as np
+    mspec, params = _load(cfg)
+    out = os.path.join(cfg.result_dir, "parts")
+    os.makedirs(out, exist_ok=True)
+    for name, tbl in params["embed"].items():
+        np.savez(os.path.join(out, f"{name}.npz"),
+                 dense=np.asarray(tbl["dense"]), hash=np.asarray(tbl["hash"]))
+    print(f"wrote {out}/<part>.npz x{len(params['embed'])}")
+
+
 def run_prune(cfg):
     """Write the occupancy grid to result_dir/latest.npy — the geometry-
     pruning artifact the dataset's ``prune_using_geo`` sampling consumes
@@ -123,6 +155,8 @@ def main():
         "vis": run_vis,
         "bullet": run_vis,
         "prune": run_prune,
+        "exportdecoder": run_exportdecoder,
+        "exportpart": run_exportpart,
         "tmesh": lambda c: run_tmesh(c, deformed=False),
         "tdmesh": lambda c: run_tmesh(c, deformed=True),
     }

@@ -37,6 +37,7 @@ def tiny_spec(**kw) -> inb.ModelSpec:
         knn_k=4,
         knn_radius=0.075,
         knn_chunk=512,
+        knn_backend="xla",
         cull_frac=0.25,
         part_frac=0.5,
         tpose_viewdir=True,

@@ -19,6 +19,10 @@ def main():
     parser.add_argument("--no_resume", action="store_true")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the first steps")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="jax debug_nans (reference torch detect_anomaly)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize()")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = parser.parse_args()
 
@@ -26,6 +30,16 @@ def main():
     cfg = make_cfg(args.cfg_file, args.opts)
 
     import jax
+    if args.distributed:
+        jax.distributed.initialize()
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+    if cfg.get("fix_random", False):
+        # determinism switch (reference train_net.fix_random:49-57): jax is
+        # deterministic given fixed PRNG keys; also pin XLA determinism.
+        import os
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+            " --xla_gpu_deterministic_ops=true"
     from instant_nvr_tpu.models import inb
 
     if args.dry_run:
