@@ -232,10 +232,15 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     part_idx = jnp.stack(part_idx)             # (P, Kp)
     part_valid = jnp.stack(part_valid)         # (P, Kp)
 
-    sel_pts = cpts[part_idx]                   # (P, Kp, 3)
-    sel_dirs = cdirs[part_idx]                 # (P, Kp, 3)
+    # flat 1-D gather indices (multi-dim index arrays hit a slow TPU path)
+    flat_pi = part_idx.reshape(-1)             # (P*Kp,)
+    sel_pts = cpts[flat_pi].reshape(P, Kp, 3)
+    sel_dirs = cdirs[flat_pi].reshape(P, Kp, 3)
     # blend weights per (part, point): pred_pbw is (K, P, 24)
-    sel_bw = jnp.stack([pred_pbw[part_idx[p], p] for p in range(P)])  # (P, Kp, 24)
+    bw_flat = pred_pbw.reshape(K * P, 24)
+    part_arange = jnp.arange(P, dtype=part_idx.dtype)[:, None]
+    sel_bw = bw_flat[(part_idx * P + part_arange).reshape(-1)] \
+        .reshape(P, Kp, 24)
 
     # 5. inverse LBS pose -> tpose -> bigpose on the selected points
     #    (inb_part_network_multiassign.py:98-102)

@@ -44,8 +44,14 @@ def grid_sample_3d(vol: jnp.ndarray, coords: jnp.ndarray,
     c000 = clamp(lo)
     c111 = clamp(lo + 1)
 
+    # PERF: linearize to one flat 1-D gather (multi-operand advanced
+    # indexing hits a ~1000x slower TPU gather path)
+    X, Y, Z = vol.shape[:3]
+    vol_flat = vol.reshape(X * Y * Z, vol.shape[-1])
+
     def gather(ix, iy, iz):
-        return vol[ix, iy, iz]  # (N, C) advanced-index gather
+        lin = (ix * Y + iy) * Z + iz
+        return vol_flat[lin]  # (N, C)
 
     x0, y0, z0 = c000[:, 0], c000[:, 1], c000[:, 2]
     x1, y1, z1 = c111[:, 0], c111[:, 1], c111[:, 2]

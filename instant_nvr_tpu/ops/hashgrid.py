@@ -140,19 +140,29 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
     # offset measured from the *clipped* 000 corner (reference line 118)
     off = flt - idx[:, :, 0, :].astype(flt.dtype)  # (L, N, 3)
 
+    # one flat gather per table: (S,N,8) dense indices into (dense_total, F)
+    # and (H,N,8) level-offset hashed indices into the flattened hash table —
+    # a single big gather beats 1 + H separate/vmapped gathers on TPU (fewer
+    # ops, one fused backward scatter-add)
+    # PERF: gathers MUST use flat 1-D index vectors — multi-dim index arrays
+    # (whose minor dims are tiny) trigger a ~1000x slower TPU gather path
+    # (measured 56ms -> 0.02ms for the same 1.2M rows).
     vals = []
     if S > 0:
         nd = nmax[:S]  # (S,1,1)
         ind_d = (idx[:S, ..., 0] * (nd * nd) + idx[:S, ..., 1] * nd
                  + idx[:S, ..., 2])  # (S, N, 8)
         ind_d = ind_d + jnp.array(spec.dense_offsets, dtype=jnp.int32)[:, None, None]
-        vals.append(params["dense"][ind_d])  # (S, N, 8, F)
+        vals.append(params["dense"][ind_d.reshape(-1)].reshape(S, N, 8, F))
     if H > 0:
         p0, p1, p2 = (jnp.uint32(p) for p in spec.primes)
         ih = idx[S:].astype(jnp.uint32)
         ind_h = ((ih[..., 0] * p0) ^ (ih[..., 1] * p1) ^ (ih[..., 2] * p2))
         ind_h = (ind_h % jnp.uint32(spec.table_size)).astype(jnp.int32)  # (H, N, 8)
-        vals.append(jax.vmap(lambda tbl, ind: tbl[ind])(params["hash"], ind_h))
+        ind_h = ind_h + (jnp.arange(H, dtype=jnp.int32)
+                         * spec.table_size)[:, None, None]
+        flat_hash = params["hash"].reshape(H * spec.table_size, F)
+        vals.append(flat_hash[ind_h.reshape(-1)].reshape(H, N, 8, F))
     val = jnp.concatenate(vals, axis=0) if len(vals) > 1 else vals[0]  # (L, N, 8, F)
 
     # trilinear weights: corner==0 -> (1-off), corner==1 -> off

@@ -73,7 +73,8 @@ def _knn_one_chunk(q: jnp.ndarray, verts: jnp.ndarray, values: jnp.ndarray,
     # distance *0* for far points, accidentally flagging them into the part
     # (blend_utils.py:747-749).
     agg_dist = jnp.where(d_safe[..., 0] <= 8.0 * radius, agg_dist, 1e6)
-    sampled = values[jnp.clip(idx, 0, values.shape[0] - 1)]   # (C, K, D)
+    flat_i = jnp.clip(idx.reshape(-1), 0, values.shape[0] - 1)
+    sampled = values[flat_i].reshape(*idx.shape, values.shape[-1])  # (C, K, D)
     agg_val = jnp.sum(sampled * w[..., None], axis=-2)        # (C, D)
     return agg_val, agg_dist
 
@@ -88,8 +89,10 @@ def _aggregate(d: jnp.ndarray, idx: jnp.ndarray, part_pbw: jnp.ndarray,
     agg_dist = jnp.where(jnp.min(d_safe, axis=-1) <= 8.0 * radius,
                          agg_dist, 1e6)
     M = part_pbw.shape[1]
-    sampled = jax.vmap(lambda vals, i: vals[jnp.clip(i, 0, M - 1)])(
-        part_pbw, idx)                                        # (P, C, K, D)
+    # flat 1-D gather indices (multi-dim index arrays hit a slow TPU path)
+    sampled = jax.vmap(
+        lambda vals, i: vals[jnp.clip(i.reshape(-1), 0, M - 1)]
+        .reshape(*i.shape, vals.shape[-1]))(part_pbw, idx)    # (P, C, K, D)
     agg_val = jnp.sum(sampled * w[..., None], axis=-2)        # (P, C, D)
     out = jnp.concatenate([agg_val, agg_dist[..., None]], axis=-1)
     return jnp.swapaxes(out, 0, 1)                            # (C, P, 25)
