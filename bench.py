@@ -40,7 +40,9 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, stats = step(state, batch, rngs[i % 8])
-    jax.block_until_ready(stats["loss"])
+    # fetch a value: forces true completion (block_until_ready alone can
+    # return early through remote-device tunnels)
+    float(stats["loss"])
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_steps * n_rays / dt

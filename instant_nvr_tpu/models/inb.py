@@ -241,6 +241,10 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     part_arange = jnp.arange(P, dtype=part_idx.dtype)[:, None]
     sel_bw = bw_flat[(part_idx * P + part_arange).reshape(-1)] \
         .reshape(P, Kp, 24)
+    # sanitize invalid slots: all-zero blend weights make A_bw singular and
+    # the garbage propagates NaNs into gradients through masked `where`
+    # branches (0 * inf) — give invalid slots a uniform weight instead
+    sel_bw = jnp.where(part_valid[..., None], sel_bw, 1.0 / 24.0)
 
     # 5. inverse LBS pose -> tpose -> bigpose on the selected points
     #    (inb_part_network_multiassign.py:98-102)
@@ -259,8 +263,13 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     else:
         dirs_sel = sel_dirs
 
-    # 6. residual deformation (uv_deformer.py) on selected points only
+    # sanitize invalid canonical positions (keep every downstream value
+    # finite and in-range; invalid slots are masked out of all outputs)
     flat_flag = part_valid.reshape(P * Kp)
+    tmid = jnp.mean(batch["tbounds"], axis=0)
+    init_bigpose = jnp.where(flat_flag[:, None], init_bigpose, tmid)
+
+    # 6. residual deformation (uv_deformer.py) on selected points only
     resd = deformer_apply(spec.deformer, params["deformer"], init_bigpose,
                           batch["tuv"], batch["tbounds"], batch["frame_dim"],
                           flag=flat_flag, tuv_sizes=batch.get("tuv_sizes"),

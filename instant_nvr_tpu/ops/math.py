@@ -96,6 +96,17 @@ def inverse_3x3(m: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return adj / (det[..., None, None] + eps)
 
 
+def safe_norm(x: jnp.ndarray, axis=-1, keepdims: bool = False,
+              eps: float = 1e-12) -> jnp.ndarray:
+    """L2 norm with a well-defined gradient at 0.
+
+    ``jnp.linalg.norm`` backpropagates NaN at exactly-zero vectors (x/|x|);
+    masked-out residuals are exactly zero, so every loss that norms them must
+    use this instead.
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
 def get_bounds(xyz: jnp.ndarray, padding: float = 0.05) -> jnp.ndarray:
     """Axis-aligned bounds of a point set with padding -> (2, 3).
 

@@ -110,8 +110,9 @@ def pair_reg_loss(resd0: jnp.ndarray, resd1: jnp.ndarray,
     directions of the two residuals should agree; masked mean over the valid
     budget slots.
     """
-    v0 = resd0 / (jnp.linalg.norm(resd0, axis=-1, keepdims=True) + eps)
-    v1 = resd1 / (jnp.linalg.norm(resd1, axis=-1, keepdims=True) + eps)
-    per_pt = jnp.linalg.norm(v1 - v0, axis=-1)
+    from ..ops.math import safe_norm
+    v0 = resd0 / (safe_norm(resd0, axis=-1, keepdims=True) + eps)
+    v1 = resd1 / (safe_norm(resd1, axis=-1, keepdims=True) + eps)
+    per_pt = safe_norm(v1 - v0, axis=-1)
     denom = jnp.maximum(jnp.sum(valid), 1.0)
     return jnp.sum(jnp.where(valid, per_pt, 0.0)) / denom

@@ -91,7 +91,8 @@ def compute_losses(mspec: inb.ModelSpec, rspec: RenderSpec, lw: LossWeights,
         loss = loss + batch.get("reg_dist_weight", 0.1) * dl
 
     if "resd" in ret:
-        ol = jnp.mean(jnp.linalg.norm(ret["resd"], axis=-1))
+        from ..ops.math import safe_norm
+        ol = jnp.mean(safe_norm(ret["resd"], axis=-1))
         stats["offset_loss"] = ol
         loss = loss + lw.resd * ol
 

@@ -124,6 +124,29 @@ def test_overfit_sphere(scene, view):
     assert last_psnr > first_psnr + 3.0, (first_psnr, last_psnr)
 
 
+def test_no_nans_with_all_regularizers(scene, view):
+    """10 steps with pair-reg + distortion + resd losses: everything stays
+    finite (regression: norm-at-zero and masked-where NaN gradients)."""
+    import optax
+    spec = tiny_spec()
+    params = inb.init_params(jax.random.key(0), spec)
+    rspec = RenderSpec(n_samples=12, pair_budget=128, use_pair_reg=True,
+                       use_reg_distortion=True)
+    lw = LossWeights(use_pair=True, use_distortion=True, pair=10.0, resd=0.1)
+    opt = optax.adam(5e-3, eps=1e-15)
+    state = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+    step = jax.jit(make_train_step(spec, rspec, lw, opt))
+    batch = _to_device(synthetic.make_batch(scene, view, n_rays=256, seed=0))
+    for i in range(10):
+        state, stats = step(state, batch, jax.random.key(i))
+        assert np.isfinite(float(stats["loss"])), (i, {k: float(v) for k, v
+                                                       in stats.items()
+                                                       if getattr(v, "ndim", 0) == 0})
+    # params stayed finite too
+    for leaf in jax.tree.leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_aggr_modes(scene, view):
     batch = _to_device(synthetic.make_batch(scene, view, n_rays=32))
     for aggr in ("", "mean", "dist"):
