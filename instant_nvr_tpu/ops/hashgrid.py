@@ -95,10 +95,13 @@ def make_hashgrid_spec(n_levels: int = 16, n_features_per_level: int = 16,
 
 def hashgrid_init(key: jax.Array, spec: HashGridSpec,
                   dtype=jnp.float32) -> dict:
-    """Parameters: {'dense': (dense_total, F), 'hash': (H, T, F)}.
+    """Parameters: {'dense': (dense_total, F), 'hash': (H*T, F)}.
 
     Both use std = sqrt(2 / (T*F)) — the fan of the reference's joint
-    (L, T, F) kaiming init.
+    (L, T, F) kaiming init.  The hash table is stored FLAT with levels
+    concatenated: reshaping an (H, T, F) param at use-time forces a
+    physical relayout copy of the whole table every step on TPU
+    (T(8,128)-tiled layouts are not reshape-free).
     """
     std = math.sqrt(2.0 / (spec.table_size * spec.n_features))
     kd, kh = jax.random.split(key)
@@ -106,7 +109,8 @@ def hashgrid_init(key: jax.Array, spec: HashGridSpec,
     params["dense"] = std * jax.random.normal(
         kd, (max(spec.dense_total, 1), spec.n_features), dtype=dtype)
     params["hash"] = std * jax.random.normal(
-        kh, (max(spec.n_hash_levels, 1), spec.table_size, spec.n_features), dtype=dtype)
+        kh, (max(spec.n_hash_levels, 1) * spec.table_size, spec.n_features),
+        dtype=dtype)
     return params
 
 
@@ -161,8 +165,7 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
         ind_h = (ind_h % jnp.uint32(spec.table_size)).astype(jnp.int32)  # (H, N, 8)
         ind_h = ind_h + (jnp.arange(H, dtype=jnp.int32)
                          * spec.table_size)[:, None, None]
-        flat_hash = params["hash"].reshape(H * spec.table_size, F)
-        vals.append(flat_hash[ind_h.reshape(-1)].reshape(H, N, 8, F))
+        vals.append(params["hash"][ind_h.reshape(-1)].reshape(H, N, 8, F))
     val = jnp.concatenate(vals, axis=0) if len(vals) > 1 else vals[0]  # (L, N, 8, F)
 
     # trilinear weights: corner==0 -> (1-off), corner==1 -> off

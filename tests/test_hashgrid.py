@@ -35,7 +35,8 @@ def np_hashgrid_oracle(spec: HashGridSpec, params, xyz, bounds):
                 h = ((iu[:, 0] * np.uint32(spec.primes[0]))
                      ^ (iu[:, 1] * np.uint32(spec.primes[1]))
                      ^ (iu[:, 2] * np.uint32(spec.primes[2]))) % np.uint32(spec.table_size)
-                v = hsh[lvl - spec.start_hash][h.astype(np.int64)]
+                # flat table: levels concatenated
+                v = hsh[h.astype(np.int64) + (lvl - spec.start_hash) * spec.table_size]
             acc += w[:, None] * v
         out[:, lvl] = acc
     if spec.sum:

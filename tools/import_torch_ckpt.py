@@ -58,7 +58,8 @@ def convert(state_dict, mspec, params):
         if pre + "embedder.dense" in sd:
             emb["dense"] = jnp.asarray(t2n(sd[pre + "embedder.dense"]))
         if pre + "embedder.hash" in sd:
-            emb["hash"] = jnp.asarray(t2n(sd[pre + "embedder.hash"]))
+            h = t2n(sd[pre + "embedder.hash"])  # (H, T, F) -> flat (H*T, F)
+            emb["hash"] = jnp.asarray(h.reshape(-1, h.shape[-1]))
         new["embed"][name] = emb
         # occ MLP
         for j in range(len(params["occ"])):
@@ -94,7 +95,8 @@ def convert(state_dict, mspec, params):
     if "tpose_deformer.embedder.dense" in sd:
         demb["dense"] = jnp.asarray(t2n(sd["tpose_deformer.embedder.dense"]))
     if "tpose_deformer.embedder.hash" in sd:
-        demb["hash"] = jnp.asarray(t2n(sd["tpose_deformer.embedder.hash"]))
+        h = t2n(sd["tpose_deformer.embedder.hash"])
+        demb["hash"] = jnp.asarray(h.reshape(-1, h.shape[-1]))
     dfm["embed"] = demb
     mlp = []
     for j, li in enumerate([0, 2, 4]):
