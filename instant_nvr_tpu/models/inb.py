@@ -58,6 +58,7 @@ class ModelSpec(NamedTuple):
     knn_backend: str            # 'auto' | 'pallas' | 'xla'
     cull_frac: float
     part_frac: float
+    part_budget_scales: Tuple[float, ...]   # per-part multiplier on part_frac
     tpose_viewdir: bool
     compute_dtype: str          # 'bfloat16' | 'float32' for MLP matmuls
 
@@ -116,6 +117,8 @@ def build_model_spec(cfg) -> ModelSpec:
         knn_backend=cfg.get("knn_backend", "auto"),
         cull_frac=cfg.cull_budget,
         part_frac=cfg.part_budget,
+        part_budget_scales=tuple(cfg.get("part_budget_scales",
+                                         [1.0, 0.75, 0.5, 0.25, 0.25])),
         tpose_viewdir=cfg.tpose_viewdir,
         compute_dtype=cfg.mlp_dtype,
     )
@@ -217,99 +220,87 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     part_dist = jax.lax.stop_gradient(knn[..., 24])          # (K, P)
     pflag = (part_dist < spec.smpl_thresh) & cvalid[:, None]  # (K, P)
 
-    # 4. per-part fixed-budget selection FIRST — LBS / deformation / embedding
-    #    then run only on the (P, Kp) selected points instead of all K*P
-    #    part-expanded points (halves the deformer+LBS work vs the reference
-    #    layout, which expands every culled point to every part)
-    Kp = _round_budget(spec.part_frac * K)
-    Kp = min(Kp, K)
-    part_idx, part_valid = [], []
-    for p in range(P):
+    # 4.-9. per-part pipeline, statically unrolled with PER-PART budgets.
+    #    Selection comes FIRST so LBS / deformation / embedding run only on
+    #    each part's budgeted points (the reference expands every culled
+    #    point to every part, TPoseHuman.forward:204-234).  Budgets scale
+    #    per part: the body needs far more slots than an arm, and embed
+    #    gather/grad-scatter rows are the step's dominant cost on TPU.
+    tmid = jnp.mean(batch["tbounds"], axis=0)
+    part_bounds = batch["part_bounds"]         # (P, 2, 3)
+    A1 = batch["A"][None]
+    bigA1 = batch["big_A"][None]
+
+    raws = jnp.zeros((K, P, 4), jnp.float32)
+    occs = jnp.zeros((K, P, 1), jnp.float32)
+    resd_list, tpts_list, tocc_list, tflag_list = [], [], [], []
+
+    for p, name in enumerate(spec.partnames):
+        Kp = min(_round_budget(spec.part_frac * spec.part_budget_scales[p] * K), K)
         score = jnp.where(pflag[:, p], part_dist[:, p], jnp.inf)
         idx_p, valid_p = topk_select(score, Kp, spec.smpl_thresh)
-        part_idx.append(idx_p)
-        part_valid.append(valid_p)
-    part_idx = jnp.stack(part_idx)             # (P, Kp)
-    part_valid = jnp.stack(part_valid)         # (P, Kp)
 
-    # flat 1-D gather indices (multi-dim index arrays hit a slow TPU path)
-    flat_pi = part_idx.reshape(-1)             # (P*Kp,)
-    sel_pts = cpts[flat_pi].reshape(P, Kp, 3)
-    sel_dirs = cdirs[flat_pi].reshape(P, Kp, 3)
-    # blend weights per (part, point): pred_pbw is (K, P, 24)
-    bw_flat = pred_pbw.reshape(K * P, 24)
-    part_arange = jnp.arange(P, dtype=part_idx.dtype)[:, None]
-    sel_bw = bw_flat[(part_idx * P + part_arange).reshape(-1)] \
-        .reshape(P, Kp, 24)
-    # sanitize invalid slots: all-zero blend weights make A_bw singular and
-    # the garbage propagates NaNs into gradients through masked `where`
-    # branches (0 * inf) — give invalid slots a uniform weight instead
-    sel_bw = jnp.where(part_valid[..., None], sel_bw, 1.0 / 24.0)
+        sel_pts = cpts[idx_p]                  # (Kp, 3)
+        sel_dirs = cdirs[idx_p]
+        sel_bw = pred_pbw[:, p, :][idx_p]      # (Kp, 24)
+        # sanitize invalid slots: all-zero blend weights make A_bw singular
+        # and garbage propagates NaN gradients through masked `where`
+        sel_bw = jnp.where(valid_p[:, None], sel_bw, 1.0 / 24.0)
 
-    # 5. inverse LBS pose -> tpose -> bigpose on the selected points
-    #    (inb_part_network_multiassign.py:98-102)
-    bw = sel_bw.reshape(1, P * Kp, 24)
-    A_bw, R_inv = lbs.inverse_blend_params(bw, batch["A"][None])
-    big_A_bw = lbs.blend_transforms(bw, batch["big_A"][None])
-    init_tpose = lbs.pose_points_to_tpose_points(
-        sel_pts.reshape(1, P * Kp, 3), A_bw, R_inv)
-    init_bigpose = lbs.tpose_points_to_pose_points(init_tpose, big_A_bw)[0]  # (P*Kp, 3)
+        # inverse LBS pose -> tpose -> bigpose (inb_part_network.py:98-102)
+        A_bw, R_inv = lbs.inverse_blend_params(sel_bw[None], A1)
+        big_A_bw = lbs.blend_transforms(sel_bw[None], bigA1)
+        init_tpose = lbs.pose_points_to_tpose_points(sel_pts[None], A_bw, R_inv)
+        init_bigpose = lbs.tpose_points_to_pose_points(init_tpose, big_A_bw)[0]
+        if spec.tpose_viewdir:
+            init_tdirs = lbs.pose_dirs_to_tpose_dirs(sel_dirs[None], R_inv)
+            dirs_p = lbs.tpose_dirs_to_pose_dirs(init_tdirs, big_A_bw)[0]
+        else:
+            dirs_p = sel_dirs
 
-    if spec.tpose_viewdir:
-        init_tdirs = lbs.pose_dirs_to_tpose_dirs(
-            sel_dirs.reshape(1, P * Kp, 3), R_inv)
-        dirs_sel = lbs.tpose_dirs_to_pose_dirs(init_tdirs, big_A_bw)[0] \
-            .reshape(P, Kp, 3)
-    else:
-        dirs_sel = sel_dirs
+        # sanitize invalid canonical positions (finite, in-range)
+        init_bigpose = jnp.where(valid_p[:, None], init_bigpose, tmid)
 
-    # sanitize invalid canonical positions (keep every downstream value
-    # finite and in-range; invalid slots are masked out of all outputs)
-    flat_flag = part_valid.reshape(P * Kp)
-    tmid = jnp.mean(batch["tbounds"], axis=0)
-    init_bigpose = jnp.where(flat_flag[:, None], init_bigpose, tmid)
+        # residual deformation (uv_deformer.py)
+        resd_p = deformer_apply(spec.deformer, params["deformer"], init_bigpose,
+                                batch["tuv"], batch["tbounds"],
+                                batch["frame_dim"], flag=valid_p,
+                                tuv_sizes=batch.get("tuv_sizes"),
+                                compute_dtype=cd)
+        tpose_p = init_bigpose + resd_p        # (Kp, 3)
 
-    # 6. residual deformation (uv_deformer.py) on selected points only
-    resd = deformer_apply(spec.deformer, params["deformer"], init_bigpose,
-                          batch["tuv"], batch["tbounds"], batch["frame_dim"],
-                          flag=flat_flag, tuv_sizes=batch.get("tuv_sizes"),
-                          compute_dtype=cd)
-    tpose_sel = (init_bigpose + resd).reshape(P, Kp, 3)
+        # hash embed + occ head (part_base_network.py:44-53)
+        emb = hashgrid_encode(spec.part_embeds[p], params["embed"][name],
+                              tpose_p, part_bounds[p])
+        occ_layers = [jax.tree.map(lambda a: a[p], layer)
+                      for layer in params["occ"]]
+        hidden = mlp_apply(occ_layers, emb, cd)
+        occ_v = 1.0 - jnp.exp(-jax.nn.softplus(hidden[..., :1]))  # (Kp, 1)
+        feature = hidden[..., 1:]
 
-    # hash embed per part (tables differ per part -> static unroll)
-    part_bounds = batch["part_bounds"]         # (P, 2, 3)
-    embeds = jnp.stack([
-        hashgrid_encode(spec.part_embeds[p], params["embed"][name],
-                        tpose_sel[p], part_bounds[p])
-        for p, name in enumerate(spec.partnames)])  # (P, Kp, E)
+        # color head (part_base_network.py:54-58)
+        dir_embed = freq_encode(dirs_p, spec.viewdir_res)
+        latent = params["latent"][p, batch["latent_index"], :]
+        latent = jnp.broadcast_to(latent[None, :], (emb.shape[0], spec.latent_dim))
+        rgb_in = jnp.concatenate([emb, dir_embed, feature, latent], axis=-1)
+        dh_g, nl_g = spec.rgb_archs[p]
+        gkey = f"h{dh_g}_l{nl_g}"
+        slot = [ids for arch, ids in spec.rgb_groups() if arch == (dh_g, nl_g)][0].index(p)
+        rgb_layers = [jax.tree.map(lambda a: a[slot], layer)
+                      for layer in params["rgb"][gkey]]
+        rgb_v = jax.nn.sigmoid(mlp_apply(rgb_layers, rgb_in, cd))  # (Kp, 3)
 
-    # 7. stacked occ MLP over the part axis (part_base_network.py:44-53)
-    hidden = jax.vmap(lambda lp, x: mlp_apply(lp, x, cd))(params["occ"], embeds)
-    occ_p = 1.0 - jnp.exp(-jax.nn.softplus(hidden[..., :1]))   # (P, Kp, 1)
-    feature = hidden[..., 1:]
+        raw_v = jnp.concatenate([rgb_v, occ_v], axis=-1).astype(jnp.float32)
+        raws = raws.at[idx_p, p].set(
+            jnp.where(valid_p[:, None], raw_v, 0.0), mode="drop")
+        occs = occs.at[idx_p, p].set(
+            jnp.where(valid_p[:, None], occ_v.astype(jnp.float32), 0.0),
+            mode="drop")
 
-    # 8. color heads, grouped by architecture (part_base_network.py:54-58)
-    dir_embed = freq_encode(dirs_sel, spec.viewdir_res)        # (P, Kp, 27)
-    latent = params["latent"][:, batch["latent_index"], :]     # (P, L)
-    latent = jnp.broadcast_to(latent[:, None, :], (P, embeds.shape[1], spec.latent_dim))
-    rgb_in = jnp.concatenate([embeds, dir_embed, feature, latent], axis=-1)
-    rgb_p = jnp.zeros((P, embeds.shape[1], 3), rgb_in.dtype)
-    for (arch, ids) in spec.rgb_groups():
-        dh_g, nl_g = arch
-        gp = params["rgb"][f"h{dh_g}_l{nl_g}"]
-        out = jax.vmap(lambda lp, x: mlp_apply(lp, x, cd))(gp, rgb_in[jnp.array(ids)])
-        rgb_p = rgb_p.at[jnp.array(ids)].set(out)
-    rgb_p = jax.nn.sigmoid(rgb_p)                              # (P, Kp, 3)
-
-    # 9. scatter part results back to (K, P, ...)
-    raw_p = jnp.concatenate([rgb_p, occ_p], axis=-1)           # (P, Kp, 4)
-    raws = jnp.zeros((K, P, 4), raw_p.dtype)
-    occs = jnp.zeros((K, P, 1), occ_p.dtype)
-    for p in range(P):
-        raws = raws.at[part_idx[p], p].set(
-            jnp.where(part_valid[p][:, None], raw_p[p], 0.0), mode="drop")
-        occs = occs.at[part_idx[p], p].set(
-            jnp.where(part_valid[p][:, None], occ_p[p], 0.0), mode="drop")
+        resd_list.append(resd_p)
+        tpts_list.append(init_bigpose)
+        tocc_list.append(occ_v)
+        tflag_list.append(valid_p)
 
     # 10. aggregation across parts (TPoseHuman.forward:236-256)
     if spec.aggr == "mean":
@@ -332,11 +323,11 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     ret = {"raw": raw_full, "occ": occ_full}
     if train:
         ret.update({
-            # selected-point tensors, all (P, Kp, ...), masked by part_valid
-            "resd": resd.reshape(P, Kp, 3),
-            "tpts": init_bigpose.reshape(P, Kp, 3),
-            "tocc": occ_p,               # (P, Kp, 1)
-            "tflag": part_valid,         # (P, Kp)
+            # flat selected-point tensors (sum of per-part budgets), masked
+            "resd": jnp.concatenate(resd_list, axis=0),    # (SKp, 3)
+            "tpts": jnp.concatenate(tpts_list, axis=0),    # (SKp, 3)
+            "tocc": jnp.concatenate(tocc_list, axis=0),    # (SKp, 1)
+            "tflag": jnp.concatenate(tflag_list, axis=0),  # (SKp,)
             "cull_valid": cvalid,
         })
     return ret

@@ -40,6 +40,7 @@ def tiny_spec(**kw) -> inb.ModelSpec:
         knn_backend="xla",
         cull_frac=0.25,
         part_frac=0.5,
+        part_budget_scales=(1.0, 0.75, 0.5, 0.25, 0.25),
         tpose_viewdir=True,
         compute_dtype="float32",
     )
