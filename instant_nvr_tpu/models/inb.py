@@ -235,7 +235,9 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     occs = jnp.zeros((K, P, 1), jnp.float32)
     resd_list, tpts_list, tocc_list, tflag_list = [], [], [], []
 
-    for p, name in enumerate(spec.partnames):
+    # pass 1: selection + LBS per part (collect for one fused deformer call)
+    sel = []
+    for p in range(P):
         Kp = min(_round_budget(spec.part_frac * spec.part_budget_scales[p] * K), K)
         score = jnp.where(pflag[:, p], part_dist[:, p], jnp.inf)
         idx_p, valid_p = topk_select(score, Kp, spec.smpl_thresh)
@@ -260,13 +262,26 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
 
         # sanitize invalid canonical positions (finite, in-range)
         init_bigpose = jnp.where(valid_p[:, None], init_bigpose, tmid)
+        sel.append(dict(idx=idx_p, valid=valid_p, bigpose=init_bigpose,
+                        dirs=dirs_p))
 
-        # residual deformation (uv_deformer.py)
-        resd_p = deformer_apply(spec.deformer, params["deformer"], init_bigpose,
-                                batch["tuv"], batch["tbounds"],
-                                batch["frame_dim"], flag=valid_p,
-                                tuv_sizes=batch.get("tuv_sizes"),
-                                compute_dtype=cd)
+    # ONE deformer call over all parts' points (one gather/scatter set into
+    # the deformer tables instead of five)
+    all_big = jnp.concatenate([s["bigpose"] for s in sel], axis=0)
+    all_valid = jnp.concatenate([s["valid"] for s in sel], axis=0)
+    all_resd = deformer_apply(spec.deformer, params["deformer"], all_big,
+                              batch["tuv"], batch["tbounds"],
+                              batch["frame_dim"], flag=all_valid,
+                              tuv_sizes=batch.get("tuv_sizes"),
+                              compute_dtype=cd)
+    offsets = np.cumsum([0] + [s["bigpose"].shape[0] for s in sel])
+
+    # pass 2: embed + heads per part
+    for p, name in enumerate(spec.partnames):
+        s = sel[p]
+        idx_p, valid_p = s["idx"], s["valid"]
+        init_bigpose, dirs_p = s["bigpose"], s["dirs"]
+        resd_p = all_resd[offsets[p]:offsets[p + 1]]
         tpose_p = init_bigpose + resd_p        # (Kp, 3)
 
         # hash embed + occ head (part_base_network.py:44-53)
