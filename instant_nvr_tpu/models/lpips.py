@@ -41,18 +41,23 @@ def _conv(x, w, b):
     return y + b
 
 
-def vgg_init(key: jax.Array, plan: Sequence[Tuple[int, int]],
+def vgg_init(seed: int, plan: Sequence[Tuple[int, int]],
              n_stages: int) -> List[List[Dict]]:
-    """He-init conv weights for the first n_stages stages."""
+    """He-init conv weights for the first n_stages stages.
+
+    Built with numpy (NOT jax.random) so the lru-cached params are concrete
+    arrays even when first requested inside a jit trace.
+    """
+    rng = np.random.default_rng(seed)
     params = []
     c_in = 3
     for s, (c_out, n_convs) in enumerate(plan[:n_stages]):
         stage = []
         for i in range(n_convs):
-            key, k = jax.random.split(key)
             fan_in = 3 * 3 * c_in
-            w = jax.random.normal(k, (3, 3, c_in, c_out)) * (2.0 / fan_in) ** 0.5
-            stage.append({"w": w, "b": jnp.zeros((c_out,))})
+            w = (rng.standard_normal((3, 3, c_in, c_out)).astype(np.float32)
+                 * (2.0 / fan_in) ** 0.5)
+            stage.append({"w": w, "b": np.zeros((c_out,), np.float32)})
             c_in = c_out
         params.append(stage)
     return params
@@ -106,7 +111,7 @@ def vgg_features(params: List[List[Dict]], img: jnp.ndarray,
 def _train_vgg_params(weights_path: str = ""):
     if weights_path:
         return vgg_load_npz(weights_path, _VGG19_PLAN, 2)
-    return vgg_init(jax.random.key(1234), _VGG19_PLAN, 2)
+    return vgg_init(1234, _VGG19_PLAN, 2)
 
 
 def perceptual_loss(img_pred: jnp.ndarray, img_gt: jnp.ndarray,
@@ -130,7 +135,7 @@ def perceptual_loss(img_pred: jnp.ndarray, img_gt: jnp.ndarray,
 def _eval_vgg_params(weights_path: str = ""):
     if weights_path:
         return vgg_load_npz(weights_path, _VGG16_PLAN, 5)
-    return vgg_init(jax.random.key(4321), _VGG16_PLAN, 5)
+    return vgg_init(4321, _VGG16_PLAN, 5)
 
 
 def lpips_distance(img_pred: jnp.ndarray, img_gt: jnp.ndarray,
