@@ -190,6 +190,11 @@ class TPoseDataset:
         # MSE-guided sampling state (tpose_dataset.py:112-178)
         self.error_map: Optional[np.ndarray] = None
 
+        # decoded-image cache: items are revisited ~ep_iter/len(ds) times per
+        # epoch and SCHP palette decode + undistort dominate item latency
+        self._img_cache: Dict = {}
+        self.cache_items = int(cfg.get("dataset_cache_items", 200))
+
     # -- per-frame SMPL ----------------------------------------------------
 
     def _frame_id(self, index: int) -> int:
@@ -213,8 +218,14 @@ class TPoseDataset:
     def prepare_input(self, i: int):
         """Per-frame SMPL: world/pose verts, A, big_A, pbw volume, Rh, Th.
 
-        Reference prepare_input (tpose_dataset.py:248-295).
+        Reference prepare_input (tpose_dataset.py:248-295).  Cached per
+        frame (pure function of the frame id).
         """
+        cached = getattr(self, "_smpl_cache", None)
+        if cached is None:
+            cached = self._smpl_cache = {}
+        if i in cached:
+            return cached[i]
         cfg = self.cfg
         wxyz = np.load(os.path.join(self.data_root, cfg.vertices, f"{i}.npy")).astype(np.float32)
         params = np.load(os.path.join(self.data_root, cfg.params, f"{i}.npy"),
@@ -234,7 +245,10 @@ class TPoseDataset:
         big_A = get_rigid_transformation_np(big_poses.reshape(-1, 3),
                                             self.joints, self.parents)
         pbw = np.load(os.path.join(self.lbs_root, f"bweights/{i}.npy")).astype(np.float32)
-        return wxyz, pxyz, A, big_A, pbw, R, Th
+        out = (wxyz, pxyz, A, big_A, pbw, R, Th)
+        if len(cached) < self.cache_items:
+            cached[i] = out
+        return out
 
     def _pad_volume(self, vol: np.ndarray, max_shape):
         if max_shape is None:
@@ -293,34 +307,42 @@ class TPoseDataset:
         if sample_focus is None:
             sample_focus = cfg.get("sample_focus", "")
 
-        img = np.asarray(imageio.imread(
-            os.path.join(self.data_root, self.ims[index]))).astype(np.float32) / 255.0
-        msk, orig_msk, sem_masks = self.get_mask(index)
-        H0, W0 = img.shape[:2]
-        msk = cv2.resize(msk, (W0, H0), interpolation=cv2.INTER_NEAREST)
-        orig_msk = cv2.resize(orig_msk, (W0, H0), interpolation=cv2.INTER_NEAREST)
-
         cam_ind = self.cam_inds[index]
-        K = np.array(self.cams["K"][cam_ind]).astype(np.float64)
-        D = np.array(self.cams["D"][cam_ind])
-        img = cv2.undistort(img, K, D)
-        msk = cv2.undistort(msk, K, D)
-        orig_msk = cv2.undistort(orig_msk, K, D)
-        sem_masks = {k: cv2.undistort(v, K, D) for k, v in sem_masks.items()}
+        cache_key = (index, ratio)
+        if cache_key in self._img_cache:
+            img, msk, orig_msk, sem_masks, K, H, W = self._img_cache[cache_key]
+            img = img.copy()  # sampling mutates (mask_bkgd zeroing)
+        else:
+            img = np.asarray(imageio.imread(
+                os.path.join(self.data_root, self.ims[index]))).astype(np.float32) / 255.0
+            msk, orig_msk, sem_masks = self.get_mask(index)
+            H0, W0 = img.shape[:2]
+            msk = cv2.resize(msk, (W0, H0), interpolation=cv2.INTER_NEAREST)
+            orig_msk = cv2.resize(orig_msk, (W0, H0), interpolation=cv2.INTER_NEAREST)
+
+            K = np.array(self.cams["K"][cam_ind]).astype(np.float64)
+            D = np.array(self.cams["D"][cam_ind])
+            img = cv2.undistort(img, K, D)
+            msk = cv2.undistort(msk, K, D)
+            orig_msk = cv2.undistort(orig_msk, K, D)
+            sem_masks = {k: cv2.undistort(v, K, D) for k, v in sem_masks.items()}
+
+            H, W = int(H0 * ratio), int(W0 * ratio)
+            img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
+            msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
+            orig_msk = cv2.resize(orig_msk, (W, H), interpolation=cv2.INTER_NEAREST)
+            sem_masks = {k: cv2.resize(v, (W, H), interpolation=cv2.INTER_NEAREST)
+                         for k, v in sem_masks.items()}
+            if cfg.mask_bkgd:
+                img[msk == 0] = 0
+            K = K.copy()
+            K[:2] *= ratio
+            if len(self._img_cache) < self.cache_items:
+                self._img_cache[cache_key] = (img.copy(), msk, orig_msk,
+                                              sem_masks, K, H, W)
 
         Rc = np.array(self.cams["R"][cam_ind])
         Tc = np.array(self.cams["T"][cam_ind]) / 1000.0
-
-        H, W = int(H0 * ratio), int(W0 * ratio)
-        img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
-        msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
-        orig_msk = cv2.resize(orig_msk, (W, H), interpolation=cv2.INTER_NEAREST)
-        sem_masks = {k: cv2.resize(v, (W, H), interpolation=cv2.INTER_NEAREST)
-                     for k, v in sem_masks.items()}
-        if cfg.mask_bkgd:
-            img[msk == 0] = 0
-        K = K.copy()
-        K[:2] *= ratio
 
         i = self._frame_id(index)
         wpts, ppts, A, big_A, pbw, R, Th = self.prepare_input(i)
