@@ -141,6 +141,53 @@ def sample_rays_mse(img, msk, error_map, K, R, T, bounds, nrays, mse_portion,
     return _finalize(img, ray_o, ray_d, coords, bounds, nrays, rng, bound_mask)
 
 
+def sample_coord(img, msk, train_coord, K, R, T, bounds, nrays,
+                 rng) -> Dict[str, np.ndarray]:
+    """Sample from a precomputed per-(frame, view) coordinate set.
+
+    ``train_coord`` = {'coord': (M, 2), 'near': (M,), 'far': (M,)}
+    (reference ``sample_coord``, if_nerf_data_utils.py:346-410): draw until
+    nrays coords survive the erosion-label filter, truncate to nrays.
+    """
+    H, W = img.shape[:2]
+    ray_o, ray_d = get_rays_np(H, W, K, R, T)
+    bound_mask = _bound_2d_mask(bounds, K, R, T, H, W)
+    img = img.copy()
+    img[bound_mask != 1] = 0
+    msk = msk * bound_mask
+
+    M = len(train_coord["coord"])
+    picks, nears, fars = [], [], []
+    total = 0
+    for _ in range(8):
+        want = nrays - total
+        if want <= 0:
+            break
+        inds = rng.integers(0, M, want)
+        coord = train_coord["coord"][inds]
+        keep = msk[coord[:, 0], coord[:, 1]] != 100
+        picks.append(coord[keep])
+        nears.append(train_coord["near"][inds][keep])
+        fars.append(train_coord["far"][inds][keep])
+        total += keep.sum()
+    coord = np.concatenate(picks)[:nrays]
+    near = np.concatenate(nears)[:nrays].astype(np.float32)
+    far = np.concatenate(fars)[:nrays].astype(np.float32)
+    n = len(coord)
+    mask = np.ones(nrays, np.float32)
+    if n < nrays:
+        reps = np.resize(np.arange(max(n, 1)), nrays - n)
+        coord = np.concatenate([coord, coord[reps]])
+        near = np.concatenate([near, near[reps]])
+        far = np.concatenate([far, far[reps]])
+        mask[n:] = 0.0
+    return {"ray_o": ray_o[coord[:, 0], coord[:, 1]].astype(np.float32),
+            "ray_d": ray_d[coord[:, 0], coord[:, 1]].astype(np.float32),
+            "rgb": img[coord[:, 0], coord[:, 1]].astype(np.float32),
+            "near": near, "far": far, "coord": coord,
+            "mask_at_box": np.ones(nrays, bool), "ray_mask": mask}
+
+
 def sample_rays_full(img, K, R, T, bounds) -> Dict[str, np.ndarray]:
     """All pixels whose ray hits the bbox (eval; variable count, caller pads)."""
     H, W = img.shape[:2]

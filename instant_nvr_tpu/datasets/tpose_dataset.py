@@ -355,7 +355,16 @@ class TPoseDataset:
         latent_index = index // self.num_cams
         patch_mode = self.split == "train" and any(
             cfg.get(f"use_{k}", False) for k in ("lpips", "ssim", "fourier", "tv_image"))
-        if patch_mode:
+        if self.split == "train" and cfg.get("train_with_coord", False):
+            coord_path = os.path.join(
+                self.data_root,
+                f"train_coord/frame_{frame_index:04d}_view_{cam_ind:04d}.npy")
+            train_coord = np.load(coord_path, allow_pickle=True).item()
+            sample = sampling.sample_coord(img, msk, train_coord, K, Rc, Tc,
+                                           wbounds, self.nrays, rng)
+            if cfg.erode_edge:
+                orig_msk = erode_edge_mask(orig_msk, border=10)
+        elif patch_mode:
             sample = sampling.sample_patch(
                 img, msk, K, Rc, Tc, wbounds, cfg.patch_size,
                 sem_masks.get(sample_focus) if sample_focus else None, rng)
