@@ -25,12 +25,12 @@ TPU deltas (documented; SURVEY.md §7.1):
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
 from ..ops.lbs import NUM_PARTS, PART_BW_MAP, PARTNAMES
-from ..ops.ray import get_near_far_np, get_rays_np
+# host ray helpers live in .sampling
 from . import sampling
 
 NUM_BONES = 24

@@ -113,7 +113,6 @@ def occupancy_grid(cfg, mspec, params, batch_meta: Dict, deformed: bool,
     import jax
     import jax.numpy as jnp
     from ..models.deformer import deformer_apply
-    from ..models.inb import _round_budget  # noqa: F401 (doc link)
     from ..ops.hashgrid import hashgrid_encode
     from ..models.nn import mlp_apply
 

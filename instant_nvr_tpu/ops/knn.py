@@ -15,7 +15,7 @@ distance matrix in memory; chunk size is a config knob (``knn_chunk``).
 """
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

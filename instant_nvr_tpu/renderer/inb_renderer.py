@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import inb
-from ..ops.ray import stratified_z_vals, z_to_dists, z_to_points
+from ..ops.ray import stratified_z_vals, z_to_points
 from ..ops.rendering import distortion_loss, volume_rendering
 from ..ops.select import topk_select
 

@@ -20,7 +20,7 @@ from ..config import Config
 from ..datasets.prefetch import Prefetcher
 from ..datasets.samplers import IterationBasedSampler, shard_indices
 from ..datasets.tpose_dataset import TPoseDataset
-from ..eval.evaluator import Evaluator
+
 from ..models import inb
 from ..models.lpips import perceptual_loss
 from ..parallel import mesh as pmesh

@@ -8,7 +8,7 @@ XLA inserts the gradient all-reduce (the DDP/NCCL replacement).
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Dict, NamedTuple, Tuple
 
 import jax
