@@ -71,13 +71,17 @@ def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
     pal = schp_palette(20)
     ims = []
     for f in range(n_frames):
-        # mild per-frame translation = "pose"
+        # the "person" rotates per frame (like a turning human): canonical
+        # (pose-space) geometry/colors stay fixed while world rotates —
+        # this is what makes single/few-camera training well-posed, exactly
+        # as in real ZJU captures, and exercises the world->pose transform
         Th = (0.02 * f * np.array([1.0, 0.0, 0.0], np.float32)).reshape(1, 3)
-        Rh = np.zeros((1, 3), np.float32)
-        wxyz = verts0 + Th
+        Rh = np.array([[0.0, 0.9 * f, 0.0]], np.float32)
+        Rw, _ = cv2.Rodrigues(Rh.astype(np.float64))
+        wxyz = (verts0 @ Rw.T.astype(np.float32)) + Th
         np.save(os.path.join(root, "smpl_vertices", f"{f}.npy"), wxyz)
         np.save(os.path.join(root, "smpl_params", f"{f}.npy"),
-                {"Rh": Rh, "Th": Th.astype(np.float32),
+                {"Rh": Rh.ravel(), "Th": Th.astype(np.float32),
                  "poses": np.zeros((1, NUM_BONES * 3), np.float32)})
 
         # per-frame bw volume with distance channel
@@ -105,7 +109,8 @@ def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
             t_hit = -b - np.sqrt(np.maximum(disc, 0))
             pts = ro + rd * t_hit[:, None]
             img = np.zeros((H * W, 3), np.float32)
-            img[hit] = _sphere_color(pts[hit])
+            # color is painted on the BODY: canonical (pose-space) position
+            img[hit] = _sphere_color(pts[hit] @ Rw.astype(np.float32))
             img = (img.reshape(H, W, 3) * 255).astype(np.uint8)
 
             rel = f"images/Cam{v}/{f:04d}.jpg"
