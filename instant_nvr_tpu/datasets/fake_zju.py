@@ -47,11 +47,19 @@ def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
     np.save(os.path.join(lbs, "joints.npy"), joints)
     np.save(os.path.join(lbs, "parents.npy"), parents)
 
-    # canonical (bigpose) data over tbounds
+    # canonical (bigpose) data over tbounds: bigpose_bw is a VOLUME with the
+    # 24 bone weights + distance-to-surface channel (real-dataset contract)
     np.save(os.path.join(lbs, "bigpose_vertices.npy"), verts0)
-    np.save(os.path.join(lbs, "bigpose_bw.npy"), weights)
     g = 16
     bounds = np.stack([verts0.min(0) - 0.05, verts0.max(0) + 0.05])
+    axes0 = [np.linspace(bounds[0, d], bounds[1, d], g) for d in range(3)]
+    g0 = np.meshgrid(*axes0, indexing="ij")
+    gpts0 = np.stack(g0, -1).reshape(-1, 3)
+    tvol = np.zeros((g, g, g, NUM_BONES + 1), np.float32)
+    tvol[..., 0] = 1.0
+    tvol[..., -1] = np.abs(np.linalg.norm(gpts0, axis=-1) - radius) \
+        .reshape(g, g, g)
+    np.save(os.path.join(lbs, "bigpose_bw.npy"), tvol)
     uvvol = rng.uniform(0, 1, (g, g, g, 2)).astype(np.float32)
     np.save(os.path.join(root, "bigpose_uv.npy"), uvvol)
 

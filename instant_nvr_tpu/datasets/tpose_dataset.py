@@ -410,6 +410,9 @@ class TPoseDataset:
             "pbw": pbw_pad, "pbw_sizes": pbw_sizes,
             "pbounds": pbounds, "wbounds": wbounds, "tbounds": self.tbounds,
             "tuv": self.tuv, "tuv_sizes": np.array(self.tuv.shape[:3], np.int32),
+            "tbw": self.tbw,
+            "tbw_sizes": np.array(self.tbw.shape[:3], np.int32)
+            if self.tbw.ndim == 4 else np.zeros(3, np.int32),
             "part_pts": part_pts, "part_pbw": part_pbw,
             "lengths2": self.part_counts.astype(np.int32),
             "part_bounds": self.part_bounds,

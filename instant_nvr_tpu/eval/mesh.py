@@ -122,31 +122,48 @@ def occupancy_grid(cfg, mspec, params, batch_meta: Dict, deformed: bool,
     gx, gy, gz = np.meshgrid(*axes, indexing="ij")
     pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
 
+    # params/meta as jit ARGUMENTS — closing over the big param pytree embeds
+    # it as HLO constants and makes (remote) compiles pathologically slow
     @jax.jit
-    def occ_chunk(x):
+    def occ_chunk(prm, meta, x):
         if deformed:
-            x = x + deformer_apply(mspec.deformer, params["deformer"], x,
-                                   jnp.asarray(batch_meta["tuv"]),
-                                   jnp.asarray(batch_meta["tbounds"]),
-                                   jnp.asarray(batch_meta.get("frame_dim", 0.0)))
+            x = x + deformer_apply(mspec.deformer, prm["deformer"], x,
+                                   meta["tuv"], meta["tbounds"],
+                                   meta["frame_dim"])
         occs = []
         for p, name in enumerate(mspec.partnames):
-            emb = hashgrid_encode(mspec.part_embeds[p], params["embed"][name],
-                                  x, jnp.asarray(batch_meta["part_bounds"][p]))
-            h = mlp_apply(jax.tree.map(lambda a: a[p], params["occ"]), emb)
+            emb = hashgrid_encode(mspec.part_embeds[p], prm["embed"][name],
+                                  x, meta["part_bounds"][p])
+            h = mlp_apply(jax.tree.map(lambda a: a[p], prm["occ"]), emb)
             o = 1.0 - jnp.exp(-jax.nn.softplus(h[..., 0]))
-            lo, hi = batch_meta["part_bounds"][p]
-            inside = jnp.all((x >= jnp.asarray(lo)) & (x <= jnp.asarray(hi)), -1)
+            inside = jnp.all((x >= meta["part_bounds"][p, 0])
+                             & (x <= meta["part_bounds"][p, 1]), -1)
             occs.append(jnp.where(inside, o, 0.0))
-        return jnp.max(jnp.stack(occs), axis=0)
+        occ = jnp.max(jnp.stack(occs), axis=0)
+        if "tbw" in meta:
+            from ..ops.grid_sample import pts_sample_volume
+            dist = pts_sample_volume(x, meta["tbw"], meta["tbounds"])[:, -1]
+            occ = jnp.where(dist < mesh_thresh, occ, 0.0)
+        return occ
 
+    meta = {"tuv": jnp.asarray(batch_meta["tuv"]),
+            "tbounds": jnp.asarray(batch_meta["tbounds"]),
+            "frame_dim": jnp.asarray(batch_meta.get("frame_dim", 0.0), jnp.float32),
+            "part_bounds": jnp.asarray(batch_meta["part_bounds"])}
+    # canonical SMPL-distance cull (like the render path): training never
+    # supervises points far from the surface, so the raw field is dense there
+    tbw = batch_meta.get("tbw")
+    use_tbw = tbw is not None and np.asarray(tbw).ndim == 4
+    if use_tbw:
+        meta["tbw"] = jnp.asarray(tbw)
+    mesh_thresh = 2.0 * float(cfg.get("smpl_thresh", 0.05)) if cfg else 0.1
     chunk = 65536
     out = []
     for i in range(0, len(pts), chunk):
         x = pts[i:i + chunk]
         if len(x) < chunk:
             x = np.pad(x, ((0, chunk - len(x)), (0, 0)))
-        out.append(np.asarray(occ_chunk(jnp.asarray(x))))
+        out.append(np.asarray(occ_chunk(params, meta, jnp.asarray(x))))
     occ = np.concatenate(out)[:len(pts)].reshape(res, res, res)
     return occ, tb
 
