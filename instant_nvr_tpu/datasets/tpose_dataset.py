@@ -399,6 +399,12 @@ class TPoseDataset:
             part_pts[p, :n] = ppts[sel]
             part_pbw[p, :n] = self.weights[sel]
 
+        # novel-pose eval reuses the last trained latent code
+        # (reference tpose_dataset.py:495-496); clamp defensively otherwise
+        if cfg.get("test_novel_pose", False):
+            latent_index = cfg.num_train_frame - 1
+        latent_index = min(latent_index, cfg.num_train_frame - 1)
+
         ret = {
             "rgb": sample["rgb"], "ray_o": sample["ray_o"], "ray_d": sample["ray_d"],
             "near": sample["near"], "far": sample["far"],

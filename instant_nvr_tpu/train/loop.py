@@ -194,6 +194,16 @@ def train(cfg: Config, resume: bool = True,
             except FileNotFoundError as e:
                 print(f"skipping val (no data): {e}")
 
+        # periodic visualization (reference trainer.vis cadence, vis_ep)
+        if cfg.get("vis_ep", 0) and (epoch + 1) % cfg.vis_ep == 0:
+            try:
+                from ..eval.runner import evaluate_dataset
+                evaluate_dataset(cfg.replace(eval=True), mspec, rspec,
+                                 state.params, split="val", epoch=epoch,
+                                 max_items=1, save_images=True)
+            except FileNotFoundError as e:
+                print(f"skipping vis (no data): {e}")
+
     if t_start is not None:
         total = time.time() - t_start
         print(f"training wall-clock (post-compile): {total:.1f}s")
