@@ -233,6 +233,14 @@ class TPoseDataset:
         Rh = params["Rh"].astype(np.float32)
         Th = params["Th"].astype(np.float32)
         R = rodrigues_np(Rh)
+
+        if cfg.get("mono_bullet", False):
+            # monocular bullet-time: spin the body by the frame index
+            # (reference tpose_dataset.py:262-267)
+            Rrel = rodrigues_np(np.array([0.0, float(i), 0.0], np.float32))
+            wxyz = (wxyz - Th) @ Rrel.T + Th
+            R = (Rrel @ R).astype(np.float32)
+
         pxyz = np.dot(wxyz - Th, R).astype(np.float32)
 
         poses = params["poses"].reshape(-1, 3)
