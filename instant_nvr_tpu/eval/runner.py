@@ -26,7 +26,14 @@ RAY_KEYS = ("ray_o", "ray_d", "near", "far")
 
 def make_chunked_renderer(mspec: inb.ModelSpec, rspec: RenderSpec,
                           chunk: int):
-    """jit(params, ray batch (Npad,...), meta) -> rgb/acc maps (Npad,...)."""
+    """jit(params, ray batch (Npad,...), meta) -> rgb/acc maps (Npad,...).
+
+    Eval uses inflated point budgets: training-time budgets drop the farthest
+    points on overflow (graceful there), but eval should compute every
+    surviving sample like the reference does.
+    """
+    mspec = mspec._replace(cull_frac=min(1.0, mspec.cull_frac * 2.0),
+                           part_frac=min(1.0, mspec.part_frac * 1.5))
 
     @partial(jax.jit, static_argnames=())
     def render_image(params, rays: Dict[str, jnp.ndarray],
