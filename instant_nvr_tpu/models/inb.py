@@ -337,6 +337,13 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
 
     ret = {"raw": raw_full, "occ": occ_full}
     if train:
+        # budget-overflow telemetry: fraction of threshold-passing points the
+        # fixed budgets could not accommodate (tune cull_budget /
+        # part_budget[_scales] until ~0 on the target dataset)
+        true_surv = jnp.sum(pnorm < spec.smpl_thresh)
+        sel_surv = jnp.sum(cvalid)
+        flag_total = jnp.sum(pflag)
+        sel_total = sum(jnp.sum(s["valid"]) for s in sel)
         ret.update({
             # flat selected-point tensors (sum of per-part budgets), masked
             "resd": jnp.concatenate(resd_list, axis=0),    # (SKp, 3)
@@ -344,5 +351,7 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
             "tocc": jnp.concatenate(tocc_list, axis=0),    # (SKp, 1)
             "tflag": jnp.concatenate(tflag_list, axis=0),  # (SKp,)
             "cull_valid": cvalid,
+            "cull_overflow": (true_surv - sel_surv) / jnp.maximum(true_surv, 1),
+            "part_overflow": (flag_total - sel_total) / jnp.maximum(flag_total, 1),
         })
     return ret

@@ -96,6 +96,10 @@ def compute_losses(mspec: inb.ModelSpec, rspec: RenderSpec, lw: LossWeights,
         stats["offset_loss"] = ol
         loss = loss + lw.resd * ol
 
+    for k in ("cull_overflow", "part_overflow"):
+        if k in ret:
+            stats[k] = ret[k]
+
     stats["loss"] = loss
     # per-ray error for MSE-guided sampling (reference inb_trainer.py:183,
     # consumed by tpose_dataset.update_global) — non-scalar, host strips it
