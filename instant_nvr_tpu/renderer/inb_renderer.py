@@ -80,6 +80,9 @@ def render_rays(mspec: inb.ModelSpec, rspec: RenderSpec, params,
 
     if train:
         ret["resd"] = net["resd"]
+        for k in ("cull_overflow", "part_overflow"):
+            if k in net:
+                ret[k] = net[k]
 
         if rspec.use_pair_reg:
             tocc = net["tocc"][..., 0]                       # (K, P)
