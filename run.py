@@ -81,6 +81,17 @@ def run_network(cfg):
 
 
 def run_vis(cfg):
+    """Render test-split views to pngs (reference run_vis, run.py:108-135)."""
+    from instant_nvr_tpu.eval.runner import evaluate_dataset
+    from instant_nvr_tpu.renderer.inb_renderer import make_render_spec
+    cfg = cfg.replace(eval=True)
+    mspec, params = _load(cfg)
+    evaluate_dataset(cfg, mspec, make_render_spec(cfg), params, split="test",
+                     save_images=True)
+
+
+def run_bullet(cfg):
+    """Bullet-time spiral novel views + video (reference run_other('bullet'))."""
     from instant_nvr_tpu.eval.visualizer import render_novel_views
     mspec, params = _load(cfg)
     render_novel_views(cfg, mspec, params)
@@ -153,7 +164,7 @@ def main():
         "dataset": run_dataset,
         "network": run_network,
         "vis": run_vis,
-        "bullet": run_vis,
+        "bullet": run_bullet,
         "prune": run_prune,
         "exportdecoder": run_exportdecoder,
         "exportpart": run_exportpart,
