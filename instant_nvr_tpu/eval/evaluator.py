@@ -60,6 +60,9 @@ class Evaluator:
                         (img_pred[..., ::-1] * 255).clip(0, 255).astype(np.uint8))
             cv2.imwrite(f"{d}/frame{frame_index:04d}_view{view_index:04d}_gt.png",
                         (img_gt[..., ::-1] * 255).clip(0, 255).astype(np.uint8))
+            err = np.abs(img_pred - img_gt).sum(-1)
+            cv2.imwrite(f"{d}/frame{frame_index:04d}_view{view_index:04d}_error.png",
+                        (err / max(err.max(), 1e-8) * 255).astype(np.uint8))
 
         self.mse.append(float(np.mean((img_pred - img_gt) ** 2)))
         self.psnr.append(psnr_metric(img_pred.reshape(-1, 3), img_gt.reshape(-1, 3)))
