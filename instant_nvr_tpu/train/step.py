@@ -28,6 +28,10 @@ class LossWeights(NamedTuple):
     use_distortion: bool = True
     use_patch: bool = False       # LPIPS/SSIM/... patch losses (see losses.py)
     patch_kind: str = "lpips"
+    use_freespace: bool = False   # BCE(occ, 0) on mask-background rays
+    free_weight: float = 1e-4
+    use_occ: bool = False         # BCE(max occ, 1) on mask-foreground rays
+    occ_weight: float = 1e-4
 
 
 def make_loss_weights(cfg) -> LossWeights:
@@ -43,6 +47,10 @@ def make_loss_weights(cfg) -> LossWeights:
         use_distortion=cfg.use_reg_distortion,
         use_patch=bool(patch_kind),
         patch_kind=patch_kind or "lpips",
+        use_freespace=cfg.get("use_freespace_loss", False),
+        free_weight=cfg.get("free_loss_weight", 1e-4),
+        use_occ=cfg.get("use_occ_loss", False),
+        occ_weight=cfg.get("occ_loss_weight", 1e-4),
     )
 
 
@@ -95,6 +103,26 @@ def compute_losses(mspec: inb.ModelSpec, rspec: RenderSpec, lw: LossWeights,
         ol = jnp.mean(safe_norm(ret["resd"], axis=-1))
         stats["offset_loss"] = ol
         loss = loss + lw.resd * ol
+
+    # mask-supervision losses (reference inb_renderer.py:117-129 +
+    # inb_trainer.py:72-88; off by default like the reference)
+    if (lw.use_freespace or lw.use_occ) and "occupancy" in batch:
+        occ_s = jnp.clip(ret["occ"], 1e-6, 1.0 - 1e-6)       # (R, S)
+        is_bg = (batch["occupancy"] < 0.5)
+        if lw.use_freespace:
+            bce0 = -jnp.log(1.0 - occ_s)
+            denom = jnp.maximum(jnp.sum(is_bg) * occ_s.shape[-1], 1)
+            fl = jnp.sum(jnp.where(is_bg[:, None], bce0, 0.0)) / denom
+            stats["free_loss"] = fl
+            loss = loss + lw.free_weight * fl
+        if lw.use_occ:
+            max_occ = jnp.max(occ_s, axis=-1)                # (R,)
+            # only penalize foreground rays whose max occ is < 0.5
+            pen = (~is_bg) & (max_occ < 0.5)
+            bce1 = -jnp.log(max_occ)
+            ol2 = jnp.sum(jnp.where(pen, bce1, 0.0)) / occ_s.shape[0]
+            stats["occ_loss"] = ol2
+            loss = loss + lw.occ_weight * ol2
 
     for k in ("cull_overflow", "part_overflow"):
         if k in ret:

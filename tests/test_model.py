@@ -125,6 +125,19 @@ def test_overfit_sphere(scene, view):
     assert last_psnr > first_psnr + 3.0, (first_psnr, last_psnr)
 
 
+def test_mask_supervision_losses(scene, view):
+    spec = tiny_spec()
+    params = inb.init_params(jax.random.key(0), spec)
+    rspec = RenderSpec(n_samples=8, pair_budget=128)
+    lw = LossWeights(use_freespace=True, use_occ=True)
+    batch = _to_device(synthetic.make_batch(scene, view, n_rays=64))
+    loss, stats = compute_losses(spec, rspec, lw, params, batch,
+                                 jax.random.key(1))
+    assert "free_loss" in stats and "occ_loss" in stats
+    assert np.isfinite(float(stats["free_loss"]))
+    assert np.isfinite(float(stats["occ_loss"]))
+
+
 def test_no_nans_with_all_regularizers(scene, view):
     """10 steps with pair-reg + distortion + resd losses: everything stays
     finite (regression: norm-at-zero and masked-where NaN gradients)."""
