@@ -32,8 +32,9 @@ def make_chunked_renderer(mspec: inb.ModelSpec, rspec: RenderSpec,
     points on overflow (graceful there), but eval should compute every
     surviving sample like the reference does.
     """
-    mspec = mspec._replace(cull_frac=min(1.0, mspec.cull_frac * 2.0),
-                           part_frac=min(1.0, mspec.part_frac * 1.5))
+    mspec = mspec._replace(
+        cull_frac=max(mspec.cull_frac, min(0.5, mspec.cull_frac * 2.0)),
+        part_frac=max(mspec.part_frac, min(0.75, mspec.part_frac * 1.5)))
 
     @partial(jax.jit, static_argnames=())
     def render_image(params, rays: Dict[str, jnp.ndarray],
