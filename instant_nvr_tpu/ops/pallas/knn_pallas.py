@@ -33,7 +33,6 @@ def _knn_kernel(length_ref, q_ref, verts_ref, out_d_ref, out_i_ref, *,
     TQ = q_ref.shape[0]
     part = pl.program_id(0)
     q = q_ref[:]                               # (TQ, 3)
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)  # (TQ, 1)
     length = length_ref[part]
 
     n_tiles = M // TV
@@ -41,11 +40,13 @@ def _knn_kernel(length_ref, q_ref, verts_ref, out_d_ref, out_i_ref, *,
     def body(t, carry):
         best_d, best_i = carry                 # (TQ, K), (TQ, K)
         v = verts_ref[0, pl.ds(t * TV, TV), :]  # (TV, 3)
-        v2 = jnp.sum(v * v, axis=-1)[None, :]  # (1, TV)
-        qv = jax.lax.dot_general(
-            q, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (TQ, TV)
-        d2 = q2 + v2 - 2.0 * qv
+        # exact f32 distances on the VPU: the MXU truncates f32 operands to
+        # bf16 (measured d^2 errors ~1e-2 that flip neighbor selection);
+        # the contraction is only 3-wide so elementwise is cheap
+        d2 = jnp.zeros((TQ, TV), jnp.float32)
+        for dim in range(3):
+            diff = q[:, dim][:, None] - v[:, dim][None, :]
+            d2 = d2 + diff * diff
         col = jax.lax.broadcasted_iota(jnp.int32, (TQ, TV), 1) + t * TV
         d2 = jnp.where(col < length, d2, _FAR)
 
