@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""On-hardware self-check: run on a real TPU to validate kernels + the step.
+
+The CPU test suite can't catch hardware-only issues (example found this way:
+Mosaic lowered the KNN distance matmul to bf16 MXU passes — exact in
+interpret mode, wrong neighbor distances on silicon).  Run this after any
+kernel/toolchain change:
+
+    JAX_COMPILATION_CACHE_DIR=~/.jax_cache python tools/tpu_selfcheck.py
+"""
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    print(f"devices: {jax.devices()}")
+    failures = []
+
+    # 1. pallas KNN == XLA KNN
+    from instant_nvr_tpu.ops.knn import (knn_blend_weights_multiassign,
+                                         knn_blend_weights_multiassign_pallas)
+    rng = np.random.default_rng(0)
+    P, M, C = 5, 2688, 4096
+    lengths = jnp.asarray(np.array([2688, 2000, 800, 600, 600], np.int32))
+    pts = jnp.asarray(rng.normal(size=(P, M, 3)).astype(np.float32))
+    pbw = jnp.asarray(rng.uniform(size=(P, M, 24)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(C, 3)).astype(np.float32) * 0.5)
+    a = np.asarray(jax.jit(lambda x: knn_blend_weights_multiassign_pallas(
+        x, pts, pbw, lengths))(q))
+    b = np.asarray(jax.jit(lambda x: knn_blend_weights_multiassign(
+        x, pts, pbw, lengths, chunk=2048))(q))
+    agree = np.isclose(a, b, rtol=1e-3, atol=1e-4).mean()
+    print(f"[1] pallas-vs-xla KNN agreement: {agree:.4f}")
+    if agree < 0.995:
+        failures.append("pallas KNN disagrees with XLA on this hardware")
+
+    # 2. f32 matmul precision sanity (MXU truncation detector)
+    x = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    got = np.asarray(jax.jit(lambda m: m @ m)(x))
+    want = np.asarray(x) @ np.asarray(x)
+    err = np.abs(got - want).max()
+    print(f"[2] f32 matmul max err (default precision): {err:.2e}"
+          f" {'(bf16-truncating MXU: use precision=HIGHEST where it matters)' if err > 1e-3 else ''}")
+
+    # 3. flagship train step: finite loss, decreasing over 10 steps
+    from __graft_entry__ import _flagship
+    from instant_nvr_tpu.models import inb
+    from instant_nvr_tpu.train.state import TrainState, make_optimizer
+    from instant_nvr_tpu.train.step import make_train_step
+    cfg, mspec, rspec, lw, batch, _ = _flagship(tiny=False)
+    params = jax.jit(lambda k: inb.init_params(k, mspec))(jax.random.key(0))
+    opt, _s = make_optimizer(cfg)
+    state = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+    step = jax.jit(make_train_step(mspec, rspec, lw, opt))
+    state, stats = step(state, batch, jax.random.key(0))
+    first = float(stats["loss"])
+    t0 = time.perf_counter()
+    for i in range(10):
+        state, stats = step(state, batch, jax.random.key(i + 1))
+    last = float(stats["loss"])
+    dt = (time.perf_counter() - t0) / 10
+    print(f"[3] train step: loss {first:.4f} -> {last:.4f}, {dt * 1000:.1f} ms/step, "
+          f"cull_overflow {float(stats['cull_overflow']):.2f}")
+    if not np.isfinite(last) or last >= first:
+        failures.append("train loss not decreasing / not finite")
+
+    if failures:
+        print("\nFAILURES:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print("\nall self-checks passed")
+
+
+if __name__ == "__main__":
+    main()
