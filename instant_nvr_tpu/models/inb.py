@@ -189,8 +189,8 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     cd = spec.cdtype
 
     # 1. world -> pose space (blend_utils.py:366-382)
-    pose_pts = jnp.matmul(wpts - batch["Th"], batch["R"])
-    pose_dirs = jnp.matmul(viewdir, batch["R"])
+    pose_pts = lbs.world_points_to_pose_points(wpts, batch["R"], batch["Th"])
+    pose_dirs = lbs.world_dirs_to_pose_dirs(viewdir, batch["R"])
 
     # 2. SMPL-distance cull via the pose bw volume's distance channel
     #    (inb_part_network_multiassign.py:133-140) — fixed-budget top-k

@@ -7,6 +7,7 @@ functions are pure, batched over a leading batch axis, and composed of matmuls
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .math import inverse_3x3
@@ -26,22 +27,29 @@ PART_BW_MAP = {
 }
 
 
+# NOTE: all matmuls here use HIGHEST precision — the TPU MXU truncates f32
+# operands to bf16 by default (~0.4% relative error = mm-level position
+# errors that corrupt SMPL-distance culling and canonical coordinates).
+# These contractions are 3- or 24-wide, so exactness is essentially free.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
 def world_points_to_pose_points(wpts: jnp.ndarray, Rh: jnp.ndarray,
                                 Th: jnp.ndarray) -> jnp.ndarray:
     """(B, N, 3), Rh (B, 3, 3), Th (B, 1, 3) -> pose-space points.
 
     Reference blend_utils.py:366-373: ``(wpts - Th) @ Rh``.
     """
-    return jnp.matmul(wpts - Th, Rh)
+    return jnp.matmul(wpts - Th, Rh, precision=_EXACT)
 
 
 def world_dirs_to_pose_dirs(wdirs: jnp.ndarray, Rh: jnp.ndarray) -> jnp.ndarray:
-    return jnp.matmul(wdirs, Rh)
+    return jnp.matmul(wdirs, Rh, precision=_EXACT)
 
 
 def pose_points_to_world_points(ppts: jnp.ndarray, Rh: jnp.ndarray,
                                 Th: jnp.ndarray) -> jnp.ndarray:
-    return jnp.matmul(ppts, jnp.swapaxes(Rh, -1, -2)) + Th
+    return jnp.matmul(ppts, jnp.swapaxes(Rh, -1, -2), precision=_EXACT) + Th
 
 
 def blend_transforms(bw: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
@@ -54,7 +62,7 @@ def blend_transforms(bw: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
     """
     B, K = A.shape[0], A.shape[1]
     A_flat = A.reshape(B, K, 16)
-    A_bw = jnp.matmul(bw, A_flat)  # (B, N, 16)
+    A_bw = jnp.matmul(bw, A_flat, precision=_EXACT)  # (B, N, 16)
     return A_bw.reshape(B, -1, 4, 4)
 
 
