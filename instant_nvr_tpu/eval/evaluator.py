@@ -31,18 +31,40 @@ def fill_image(rgb: np.ndarray, mask_at_box: np.ndarray, H: int, W: int) -> np.n
 class Evaluator:
     def __init__(self, result_dir: str = "", lpips_weights: str = "",
                  save_images: bool = True, eval_part: str = "",
-                 partnames=None):
+                 partnames=None, test_full: bool = True):
         self.result_dir = result_dir
         self.lpips_weights = lpips_weights
         self.save_images = save_images and bool(result_dir)
         self.eval_part = eval_part
         self.partnames = partnames or []
+        self.test_full = test_full
         self.mse, self.psnr, self.ssim, self.lpips = [], [], [], []
 
     def evaluate(self, rgb_pred: np.ndarray, rgb_gt: np.ndarray,
                  mask_at_box: np.ndarray, H: int, W: int,
                  frame_index: int = 0, view_index: int = 0,
                  sem_mask: Optional[np.ndarray] = None, epoch: int = -1):
+        if not self.test_full:
+            # masked-pixels-only metrics (reference test_full=False branch,
+            # lib/evaluators/if_nerf.py:133-144): PSNR on the rays, SSIM on
+            # the bbox crop of the reassembled image
+            if rgb_gt.sum() == 0:
+                return
+            self.mse.append(float(np.mean((rgb_pred - rgb_gt) ** 2)))
+            self.psnr.append(psnr_metric(rgb_pred, rgb_gt))
+            import cv2
+            mb = mask_at_box.reshape(H, W)
+            ip = fill_image(rgb_pred, mask_at_box, H, W)
+            ig = fill_image(rgb_gt, mask_at_box, H, W)
+            x, y, w, h = cv2.boundingRect(mb.astype(np.uint8))
+            self.ssim.append(ssim_skimage(ip[y:y + h, x:x + w],
+                                          ig[y:y + h, x:x + w]))
+            import jax.numpy as jnp
+            self.lpips.append(float(lpips_distance(
+                jnp.asarray(ip, jnp.float32), jnp.asarray(ig, jnp.float32),
+                self.lpips_weights)))
+            return
+
         img_pred = fill_image(rgb_pred, mask_at_box, H, W)
         img_gt = fill_image(rgb_gt, mask_at_box, H, W)
 

@@ -93,7 +93,8 @@ def evaluate_dataset(cfg, mspec, rspec, params, split: str = "test",
                           lpips_weights=cfg.get("lpips_weights", ""),
                           save_images=save_images,
                           eval_part=cfg.get("eval_part", ""),
-                          partnames=list(mspec.partnames))
+                          partnames=list(mspec.partnames),
+                          test_full=cfg.get("test_full", True))
 
     for idx in indices:
         item = ds.get_item(idx)

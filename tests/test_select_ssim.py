@@ -43,3 +43,18 @@ def test_ssim_skimage_structure():
     b = np.full((32, 32), 0.8)
     s = ssim.ssim_skimage(a, b)
     assert s < 0.5
+
+
+def test_evaluator_test_full_false(tmp_path, rng):
+    from instant_nvr_tpu.eval.evaluator import Evaluator
+    ev = Evaluator(result_dir=str(tmp_path), save_images=False, test_full=False)
+    H = W = 32
+    mask = np.zeros(H * W, bool)
+    mask[: H * W // 2] = True
+    n = int(mask.sum())
+    gt = rng.uniform(0.1, 1.0, size=(n, 3)).astype(np.float32)
+    pred = np.clip(gt + 0.05 * rng.normal(size=gt.shape), 0, 1).astype(np.float32)
+    ev.evaluate(pred, gt, mask, H, W)
+    out = ev.summarize()
+    assert np.isfinite(out["psnr"]) and out["psnr"] > 15
+    assert 0 <= out["ssim"] <= 1
