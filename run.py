@@ -41,7 +41,8 @@ def run_evaluate(cfg):
     from instant_nvr_tpu.renderer.inb_renderer import make_render_spec
     cfg = cfg.replace(eval=True)
     mspec, params = _load(cfg)
-    evaluate_dataset(cfg, mspec, make_render_spec(cfg), params, split="test")
+    evaluate_dataset(cfg, mspec, make_render_spec(cfg), params, split="test",
+                     save_images=not cfg.get("fast_eval", False))
 
 
 def run_dataset(cfg):
