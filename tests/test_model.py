@@ -43,6 +43,7 @@ def tiny_spec(**kw) -> inb.ModelSpec:
         part_budget_scales=(1.0, 0.75, 0.5, 0.25, 0.25),
         tpose_viewdir=True,
         compute_dtype="float32",
+        grid_compute_dtype="float32",
     )
     defaults.update(kw)
     return inb.ModelSpec(**defaults)
@@ -159,6 +160,30 @@ def test_no_nans_with_all_regularizers(scene, view):
     # params stayed finite too
     for leaf in jax.tree.leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_bf16_grid_compute(scene, view):
+    """bf16 table compute stays close to f32 and trains without NaNs."""
+    import optax
+    spec32 = tiny_spec()
+    spec16 = tiny_spec(grid_compute_dtype="bfloat16")
+    params = inb.init_params(jax.random.key(0), spec32)
+    batch = _to_device(synthetic.make_batch(scene, view, n_rays=64))
+    z = jnp.linspace(batch["near"], batch["far"], 8, axis=-1)
+    wpts = (batch["ray_o"][:, None] + batch["ray_d"][:, None] * z[..., None]).reshape(-1, 3)
+    dirs = jnp.repeat(batch["ray_d"], 8, axis=0)
+    r32 = inb.forward(spec32, params, wpts, dirs, batch, train=False)
+    r16 = inb.forward(spec16, params, wpts, dirs, batch, train=False)
+    d = np.abs(np.asarray(r32["raw"]) - np.asarray(r16["raw"]))
+    assert d.max() < 0.1 and d.mean() < 0.01
+
+    opt = optax.adam(5e-3, eps=1e-15)
+    state = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+    step = jax.jit(make_train_step(
+        spec16, RenderSpec(n_samples=8, pair_budget=64), LossWeights(), opt))
+    for i in range(5):
+        state, stats = step(state, batch, jax.random.key(i))
+        assert np.isfinite(float(stats["loss"]))
 
 
 def test_aggr_modes(scene, view):
