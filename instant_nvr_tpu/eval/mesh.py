@@ -48,9 +48,6 @@ def marching_tetrahedra(grid: np.ndarray, iso: float
         corners = _CUBE[tet]                         # (4, 3)
 
         # case -> list of triangles, each triangle = 3 edges (pairs of tet verts)
-        E = {frozenset(p): p for p in
-             [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]}
-
         def tris_for(code_val):
             ins = [i for i in range(4) if code_val >> i & 1]
             outs = [i for i in range(4) if not code_val >> i & 1]
