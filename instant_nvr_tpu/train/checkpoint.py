@@ -39,10 +39,14 @@ def save_checkpoint(model_dir: str, epoch: int, state, recorder_state: Dict,
     ckptr.save(path, payload)
     ckptr.wait_until_finished()
     if latest:
+        # atomic alias: stage a copy then rename, so concurrent readers
+        # (e.g. an eval started right after training) never see a half copy
         lpath = _ckpt_dir(model_dir, "latest")
-        if os.path.isdir(lpath) or os.path.islink(lpath):
-            shutil.rmtree(lpath, ignore_errors=True)
-        shutil.copytree(path, lpath)
+        tmp = lpath + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(path, tmp)
+        shutil.rmtree(lpath, ignore_errors=True)
+        os.replace(tmp, lpath)
     _gc(model_dir)
 
 
