@@ -27,6 +27,7 @@ is load-bearing for convergence.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Tuple
 
@@ -34,6 +35,95 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from sympy import nextprime
+
+from .pallas.segmented_scatter import TILE_ROWS, segmented_scatter_add
+
+# tables whose f32 gradient exceeds XLA's fast (VMEM-resident, ~20 ns/row)
+# scatter path get the sorted-segment Pallas backward; the threshold is the
+# measured ~17 MB fast/slow cliff (docs/PERF.md round 2)
+KERNEL_MIN_ROWS = 278_000
+
+
+def _use_scatter_kernel(n_rows: int, dtype) -> bool:
+    return (n_rows >= KERNEL_MIN_ROWS and dtype == jnp.bfloat16
+            and jax.default_backend() not in ("cpu",))
+
+
+def _is_packed(n_rows: int, F: int) -> bool:
+    """Big tables are STORED packed — (n_rows // (128//F), 128), row-major,
+    i.e. exactly ``flat.reshape(-1, 128)``.  Three wins (docs/PERF.md r2):
+    the scatter kernel's native output needs no ~10 ms tiled-layout
+    relayout; TPU row gathers are latency-bound per ROW so a 128-lane
+    gather costs the same as a 16-lane one; and the kernel's accumulator
+    and matmuls use full 128-lane tiles (a (N, 16) VMEM array pads 8x)."""
+    return n_rows >= KERNEL_MIN_ROWS and F < 128 and 128 % F == 0
+
+
+def _lane_select(wide: jnp.ndarray, idx: jnp.ndarray, F: int) -> jnp.ndarray:
+    """wide: (R, 128) gathered packed rows; pick each row's F-lane block."""
+    rpl = 128 // F
+    c = idx % rpl
+    out = jnp.zeros((idx.shape[0], F), wide.dtype)
+    for k in range(rpl):
+        out = out + jnp.where((c == k)[:, None], wide[:, F * k:F * k + F], 0)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def table_gather(table: jnp.ndarray, idx: jnp.ndarray, n_levels: int,
+                 F: int):
+    """Logical-row gather with a sorted-segment scatter-add backward.
+
+    table: (T_rows, F) plain, or (T_rows // (128//F), 128) packed (decided
+    by ``_is_packed``); idx: (R,) int32 of LOGICAL rows, level-major with
+    per-level index ranges disjoint and ascending (dense offsets /
+    l*table_size bases give this for free) — required for the batched
+    per-level sort to produce a globally sorted record stream.
+    """
+    if table.shape[1] != F:                    # packed storage
+        return _lane_select(table[idx // (128 // F)], idx, F)
+    return table[idx]
+
+
+def _table_gather_fwd(table, idx, n_levels, F):
+    # the table rides along only for its shape/dtype (no copy is made)
+    return table_gather(table, idx, n_levels, F), (table, idx)
+
+
+def _table_gather_bwd(n_levels, F, res, g):
+    (table, idx) = res
+    packed = table.shape[1] != F
+    n_rows = table.shape[0] * (128 // F) if packed else table.shape[0]
+    if (_use_scatter_kernel(n_rows, table.dtype)
+            and n_rows % TILE_ROWS == 0 and packed):
+        grad = segmented_scatter_add(idx, g.astype(jnp.bfloat16), n_rows,
+                                     n_levels=n_levels, packed_out=True)
+    else:
+        grad = jnp.zeros((n_rows, F), table.dtype).at[idx].add(g)
+        if packed:
+            grad = grad.reshape(table.shape)
+    return grad.astype(table.dtype), None
+
+
+table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)
+
+
+def pack_table(flat: jnp.ndarray) -> jnp.ndarray:
+    """Bring an externally-loaded (rows, F) table into storage layout
+    (tile-pad + pack when big) — e.g. for reference-checkpoint import."""
+    rows, F = flat.shape
+    flat = jnp.pad(flat, ((0, _pad_rows(rows, F) - rows), (0, 0)))
+    if _is_packed(rows, F):
+        return flat.reshape(-1, 128)
+    return flat
+
+
+def _pad_rows(n: int, F: int) -> int:
+    """Pad big tables to the scatter kernel's tile multiple at init, so the
+    backward needs no post-kernel slice copy."""
+    if _is_packed(n, F):
+        return ((n + TILE_ROWS - 1) // TILE_ROWS) * TILE_ROWS
+    return n
 
 
 class HashGridSpec(NamedTuple):
@@ -105,22 +195,30 @@ def hashgrid_init(key: jax.Array, spec: HashGridSpec,
     """
     std = math.sqrt(2.0 / (spec.table_size * spec.n_features))
     kd, kh = jax.random.split(key)
-    params = {}
-    params["dense"] = std * jax.random.normal(
-        kd, (max(spec.dense_total, 1), spec.n_features), dtype=dtype)
-    params["hash"] = std * jax.random.normal(
-        kh, (max(spec.n_hash_levels, 1) * spec.table_size, spec.n_features),
-        dtype=dtype)
-    return params
+    F = spec.n_features
+
+    def make(k, rows):
+        # rows beyond the logical size (scatter-kernel tile padding) are
+        # never indexed; zero-init keeps them exactly zero under Adam
+        t = std * jax.random.normal(k, (rows, F), dtype=dtype)
+        t = jnp.pad(t, ((0, _pad_rows(rows, F) - rows), (0, 0)))
+        if _is_packed(rows, F):
+            t = t.reshape(-1, 128)             # packed storage (row-major)
+        return t
+
+    return {"dense": make(kd, max(spec.dense_total, 1)),
+            "hash": make(kh, max(spec.n_hash_levels, 1) * spec.table_size)}
 
 
 def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
                     bounds: jnp.ndarray) -> jnp.ndarray:
     """Encode points.  xyz: (N, 3); bounds: (2, 3).  Returns (N, out_dim).
 
-    Pure gather + lerp; gathers over the dense/hash tables are the dominant
-    cost and XLA lowers them to TPU dynamic-gather.  A fused Pallas variant
-    lives in ``instant_nvr_tpu/ops/pallas/hashgrid_pallas.py``.
+    Forward is a flat gather + lerp (XLA TPU dynamic-gather).  The backward
+    table scatter-add goes through ``table_gather``'s custom VJP: big tables
+    use the sorted-segment Pallas kernel in
+    ``instant_nvr_tpu/ops/pallas/segmented_scatter.py`` (~5x the XLA
+    scatter), small ones XLA's fast VMEM-resident scatter path.
     """
     N = xyz.shape[0]
     L, F = spec.n_levels, spec.n_features
@@ -157,7 +255,8 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
         ind_d = (idx[:S, ..., 0] * (nd * nd) + idx[:S, ..., 1] * nd
                  + idx[:S, ..., 2])  # (S, N, 8)
         ind_d = ind_d + jnp.array(spec.dense_offsets, dtype=jnp.int32)[:, None, None]
-        vals.append(params["dense"][ind_d.reshape(-1)].reshape(S, N, 8, F))
+        vals.append(table_gather(params["dense"], ind_d.reshape(-1),
+                                 S, F).reshape(S, N, 8, F))
     if H > 0:
         p0, p1, p2 = (jnp.uint32(p) for p in spec.primes)
         ih = idx[S:].astype(jnp.uint32)
@@ -165,7 +264,8 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
         ind_h = (ind_h % jnp.uint32(spec.table_size)).astype(jnp.int32)  # (H, N, 8)
         ind_h = ind_h + (jnp.arange(H, dtype=jnp.int32)
                          * spec.table_size)[:, None, None]
-        vals.append(params["hash"][ind_h.reshape(-1)].reshape(H, N, 8, F))
+        vals.append(table_gather(params["hash"], ind_h.reshape(-1),
+                                 H, F).reshape(H, N, 8, F))
     val = jnp.concatenate(vals, axis=0) if len(vals) > 1 else vals[0]  # (L, N, 8, F)
 
     # trilinear weights: corner==0 -> (1-off), corner==1 -> off

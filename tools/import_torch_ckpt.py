@@ -32,6 +32,8 @@ def convert(state_dict, mspec, params):
     import jax.numpy as jnp
     import jax
 
+    from instant_nvr_tpu.ops.hashgrid import pack_table
+
     sd = {k.replace("net.", "", 1) if k.startswith("net.") else k: v
           for k, v in state_dict.items()}
 
@@ -56,10 +58,10 @@ def convert(state_dict, mspec, params):
         # embedder tables
         emb = dict(params["embed"][name])
         if pre + "embedder.dense" in sd:
-            emb["dense"] = jnp.asarray(t2n(sd[pre + "embedder.dense"]))
+            emb["dense"] = pack_table(jnp.asarray(t2n(sd[pre + "embedder.dense"])))
         if pre + "embedder.hash" in sd:
             h = t2n(sd[pre + "embedder.hash"])  # (H, T, F) -> flat (H*T, F)
-            emb["hash"] = jnp.asarray(h.reshape(-1, h.shape[-1]))
+            emb["hash"] = pack_table(jnp.asarray(h.reshape(-1, h.shape[-1])))
         new["embed"][name] = emb
         # occ MLP
         for j in range(len(params["occ"])):
@@ -93,10 +95,10 @@ def convert(state_dict, mspec, params):
     dfm = dict(params["deformer"])
     demb = dict(dfm["embed"])
     if "tpose_deformer.embedder.dense" in sd:
-        demb["dense"] = jnp.asarray(t2n(sd["tpose_deformer.embedder.dense"]))
+        demb["dense"] = pack_table(jnp.asarray(t2n(sd["tpose_deformer.embedder.dense"])))
     if "tpose_deformer.embedder.hash" in sd:
         h = t2n(sd["tpose_deformer.embedder.hash"])
-        demb["hash"] = jnp.asarray(h.reshape(-1, h.shape[-1]))
+        demb["hash"] = pack_table(jnp.asarray(h.reshape(-1, h.shape[-1])))
     dfm["embed"] = demb
     mlp = []
     for j, li in enumerate([0, 2, 4]):

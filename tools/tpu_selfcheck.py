@@ -41,6 +41,26 @@ def main():
     if agree < 0.995:
         failures.append("pallas KNN disagrees with XLA on this hardware")
 
+    # 1b. compiled segmented scatter-add == numpy oracle (the Mosaic kernel
+    #     can diverge from interpret mode on silicon)
+    from instant_nvr_tpu.ops.pallas.segmented_scatter import (
+        TILE_ROWS, segmented_scatter_add)
+    Lh, N8 = 4, 8192 * 8
+    Th = 4 * 1048576
+    T_pad = ((Th + TILE_ROWS - 1) // TILE_ROWS) * TILE_ROWS
+    sk = np.concatenate([rng.integers(i * 1048576, (i + 1) * 1048576, N8)
+                         for i in range(Lh)]).astype(np.int32)
+    spay = rng.normal(size=(Lh * N8, 16)).astype(np.float32)
+    got = np.asarray(segmented_scatter_add(
+        jnp.asarray(sk), jnp.asarray(spay, jnp.bfloat16), T_pad,
+        n_levels=Lh), np.float32)
+    ref = np.zeros((T_pad, 16), np.float32)
+    np.add.at(ref, sk, spay.astype(np.float32))
+    serr = np.abs(got - ref).max()
+    print(f"[1b] segmented scatter-add max err vs numpy: {serr:.4f}")
+    if serr > 0.05 * max(1.0, np.abs(ref).max()):
+        failures.append("segmented_scatter_add wrong on this hardware")
+
     # 2. f32 matmul precision sanity (MXU truncation detector)
     x = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
     got = np.asarray(jax.jit(lambda m: m @ m)(x))
