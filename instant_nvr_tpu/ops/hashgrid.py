@@ -249,14 +249,33 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
     # PERF: gathers MUST use flat 1-D index vectors — multi-dim index arrays
     # (whose minor dims are tiny) trigger a ~1000x slower TPU gather path
     # (measured 56ms -> 0.02ms for the same 1.2M rows).
+    # trilinear weights: corner==0 -> (1-off), corner==1 -> off
+    cf = corner.astype(flt.dtype)  # (8, 3)
+    w = (1.0 - cf)[None, None] + (2.0 * cf - 1.0)[None, None] * off[:, :, None, :]
+    w = w[..., 0] * w[..., 1] * w[..., 2]  # (L, N, 8)
+
+    def interp(table, ind, n_lev):
+        v = table_gather(table, ind.reshape(-1), n_lev,
+                         F).reshape(n_lev, N, 8, F)
+        lo = 0 if table is params["dense"] else S
+        return jnp.sum(w[lo:lo + n_lev, ..., None] * v, axis=-2)  # (n_lev, N, F)
+
+    # one flat gather per table: (S,N,8) dense indices into (dense_total, F)
+    # and (H,N,8) level-offset hashed indices into the flattened hash table —
+    # a single big gather beats 1 + H separate/vmapped gathers on TPU (fewer
+    # ops, one fused backward scatter-add).  Each table runs through the
+    # corner sum separately: concatenating the (L,N,8,F) gathered values
+    # first was a pure ~130 MB copy (~7 ms/step).
+    # PERF: gathers MUST use flat 1-D index vectors — multi-dim index arrays
+    # (whose minor dims are tiny) trigger a ~1000x slower TPU gather path
+    # (measured 56ms -> 0.02ms for the same 1.2M rows).
     vals = []
     if S > 0:
         nd = nmax[:S]  # (S,1,1)
         ind_d = (idx[:S, ..., 0] * (nd * nd) + idx[:S, ..., 1] * nd
                  + idx[:S, ..., 2])  # (S, N, 8)
         ind_d = ind_d + jnp.array(spec.dense_offsets, dtype=jnp.int32)[:, None, None]
-        vals.append(table_gather(params["dense"], ind_d.reshape(-1),
-                                 S, F).reshape(S, N, 8, F))
+        vals.append(interp(params["dense"], ind_d, S))
     if H > 0:
         p0, p1, p2 = (jnp.uint32(p) for p in spec.primes)
         ih = idx[S:].astype(jnp.uint32)
@@ -264,17 +283,10 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
         ind_h = (ind_h % jnp.uint32(spec.table_size)).astype(jnp.int32)  # (H, N, 8)
         ind_h = ind_h + (jnp.arange(H, dtype=jnp.int32)
                          * spec.table_size)[:, None, None]
-        vals.append(table_gather(params["hash"], ind_h.reshape(-1),
-                                 H, F).reshape(H, N, 8, F))
-    val = jnp.concatenate(vals, axis=0) if len(vals) > 1 else vals[0]  # (L, N, 8, F)
+        vals.append(interp(params["hash"], ind_h, H))
+    val = jnp.concatenate(vals, axis=0) if len(vals) > 1 else vals[0]  # (L, N, F)
 
-    # trilinear weights: corner==0 -> (1-off), corner==1 -> off
-    cf = corner.astype(flt.dtype)  # (8, 3)
-    w = (1.0 - cf)[None, None] + (2.0 * cf - 1.0)[None, None] * off[:, :, None, :]
-    w = w[..., 0] * w[..., 1] * w[..., 2]  # (L, N, 8)
-    val = jnp.sum(w[..., None] * val, axis=-2)  # (L, N, F)
-
-    val = jnp.swapaxes(val, 0, 1)  # (N, L, F)
+    val = jnp.swapaxes(val, 0, 1).astype(x01.dtype)  # (N, L, F)
     if spec.sum:
         val = jnp.sum(val, axis=-1) if spec.sum_over_features else jnp.sum(val, axis=-2)
     else:
