@@ -88,8 +88,27 @@ def _finalize(img, ray_o, ray_d, coords, bounds, nrays, rng, bound_mask):
             "mask_at_box": np.ones(nrays, bool), "ray_mask": mask}
 
 
+def _apply_restrict(msk, bound_mask, restrict_mask):
+    """Intersect a geometry-pruning pixel mask into the sampling pools.
+
+    Implements the consumption side of ``cfg.prune_using_geo``
+    (reference tpose_dataset.py:444,512-527): rays are only drawn where the
+    previously-extracted geometry projects.  A degenerate restrict mask
+    (< 64 px overlap with the bbox pool) is ignored — better to sample the
+    full bbox than to starve the batch.
+    """
+    if restrict_mask is None:
+        return msk, bound_mask
+    inside = (bound_mask == 1) & (restrict_mask > 0)
+    if inside.sum() < 64:
+        return msk, bound_mask
+    bound_mask = np.where(inside, bound_mask, 0)
+    msk = np.where(restrict_mask > 0, msk, 0)
+    return msk, bound_mask
+
+
 def sample_rays_train(img, msk, K, R, T, bounds, nrays, body_ratio, face_ratio,
-                      rng) -> Dict[str, np.ndarray]:
+                      rng, restrict_mask=None) -> Dict[str, np.ndarray]:
     H, W = img.shape[:2]
     ray_o, ray_d = get_rays_np(H, W, K, R, T)
     bound_mask = _bound_2d_mask(bounds, K, R, T, H, W)
@@ -98,6 +117,7 @@ def sample_rays_train(img, msk, K, R, T, bounds, nrays, body_ratio, face_ratio,
     msk = msk * bound_mask
     bound_mask = bound_mask.copy()
     bound_mask[msk == 100] = 0
+    msk, bound_mask = _apply_restrict(msk, bound_mask, restrict_mask)
 
     n_body = int(nrays * body_ratio)
     n_face = int(nrays * face_ratio)
@@ -107,7 +127,8 @@ def sample_rays_train(img, msk, K, R, T, bounds, nrays, body_ratio, face_ratio,
 
 
 def sample_rays_mse(img, msk, error_map, K, R, T, bounds, nrays, mse_portion,
-                    body_ratio, face_ratio, rng) -> Dict[str, np.ndarray]:
+                    body_ratio, face_ratio, rng,
+                    restrict_mask=None) -> Dict[str, np.ndarray]:
     """Error-guided: top-20% error pixels get mse_portion of the rays."""
     H, W = img.shape[:2]
     ray_o, ray_d = get_rays_np(H, W, K, R, T)
@@ -117,6 +138,7 @@ def sample_rays_mse(img, msk, error_map, K, R, T, bounds, nrays, mse_portion,
     msk = msk * bound_mask
     bound_mask = bound_mask.copy()
     bound_mask[msk == 100] = 0
+    msk, bound_mask = _apply_restrict(msk, bound_mask, restrict_mask)
 
     nz = error_map[(error_map > 0) & (msk == 1)]
     if len(nz):

@@ -190,6 +190,10 @@ class TPoseDataset:
         # MSE-guided sampling state (tpose_dataset.py:112-178)
         self.error_map: Optional[np.ndarray] = None
 
+        # geometry-pruned sampling state (tpose_dataset.py:512-527)
+        self._prune_cache = None        # (mtime, canonical pts, blend weights)
+        self._prune_world: Dict = {}    # frame id -> warped world points
+
         # decoded-image cache: items are revisited ~ep_iter/len(ds) times per
         # epoch and SCHP palette decode + undistort dominate item latency
         self._img_cache: Dict = {}
@@ -214,6 +218,90 @@ class TPoseDataset:
                 arr = np.load(os.path.join(bdir, f), mmap_mode="r")
                 shapes.append(arr.shape[:3])
         return tuple(np.max(np.array(shapes), axis=0)) if shapes else None
+
+    # -- geometry-pruned sampling (cfg.prune_using_geo) --------------------
+
+    def _prune_points(self):
+        """Occupied canonical voxels from ``result_dir/latest.npy``.
+
+        Consumption side of the reference's geometry pruning
+        (tpose_dataset.py:512-527: load latest.npy, threshold at the top-10%
+        densities).  Returns (canonical centers (M, 3), blend weights
+        (M, 24)) or None when disabled/absent.  Cached by file mtime so the
+        per-epoch refresh written by the train loop is picked up.
+        """
+        cfg = self.cfg
+        if not cfg.get("prune_using_geo", False):
+            return None
+        path = os.path.join(cfg.result_dir, "latest.npy")
+        if not os.path.exists(path):
+            return None
+        mtime = os.path.getmtime(path)
+        if self._prune_cache is not None and self._prune_cache[0] == mtime:
+            return self._prune_cache[1:]
+        cube = np.load(path)
+        flat = cube.reshape(-1)
+        n_top = max(int((flat > -1).sum() * 0.1), 1)
+        thresh = np.partition(flat, -n_top)[-n_top]
+        idx = np.argwhere(cube >= thresh).astype(np.float32)
+        res = np.array(cube.shape, np.float32)
+        tb = self.tbounds
+        pts = tb[0] + idx / np.maximum(res - 1, 1) * (tb[1] - tb[0])
+        if len(pts) > 16384:  # subsample: the dilated 2-D splat needs no more
+            pick = np.random.default_rng(0).choice(len(pts), 16384, replace=False)
+            pts = pts[pick]
+        # nearest-voxel blend weights from the canonical tbw volume
+        if self.tbw.ndim == 4:
+            S = np.array(self.tbw.shape[:3], np.float32)
+            vi = np.clip(np.round((pts - tb[0]) / (tb[1] - tb[0]) * (S - 1)),
+                         0, S - 1).astype(int)
+            w = self.tbw[vi[:, 0], vi[:, 1], vi[:, 2], :NUM_BONES]
+        else:  # no bw volume: nearest canonical SMPL vertex weights
+            from scipy.spatial import cKDTree
+            nn = cKDTree(self.tpose).query(pts)[1]
+            w = self.weights[nn]
+        w = w / np.maximum(w.sum(-1, keepdims=True), 1e-8)
+        self._prune_cache = (mtime, pts.astype(np.float32), w.astype(np.float32))
+        self._prune_world.clear()
+        return self._prune_cache[1:]
+
+    def _prune_mask(self, i: int, A, big_A, R, Th, K, Rc, Tc, H, W):
+        """Pixel mask of the projected occupied geometry for frame ``i``.
+
+        Forward-warps the occupied canonical voxels to world space
+        (canonical -> joint-local via big_A^-1 -> posed via A -> world via
+        R/Th; inverse of the model's culling chain, models/inb.py:254-273)
+        and splats them into the camera with a voxel-footprint dilation.
+        """
+        geo = self._prune_points()
+        if geo is None:
+            return None
+        pts, w = geo
+        xw = self._prune_world.get(i)
+        if xw is None:
+            A_bw = (w @ A.reshape(NUM_BONES, 16)).reshape(-1, 4, 4)
+            bigA_bw = (w @ big_A.reshape(NUM_BONES, 16)).reshape(-1, 4, 4)
+            xt = np.einsum("nij,nj->ni", np.linalg.inv(bigA_bw[:, :3, :3]),
+                           pts - bigA_bw[:, :3, 3])
+            xp = np.einsum("nij,nj->ni", A_bw[:, :3, :3], xt) + A_bw[:, :3, 3]
+            xw = (xp @ R.T + Th.reshape(1, 3)).astype(np.float32)
+            if len(self._prune_world) < self.cache_items:
+                self._prune_world[i] = xw
+        import cv2
+        cam = xw @ np.asarray(Rc).T + np.asarray(Tc).reshape(1, 3)
+        z = cam[:, 2]
+        pix = cam @ np.asarray(K).T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = np.round(pix[:, 0] / pix[:, 2]).astype(np.int64)
+            v = np.round(pix[:, 1] / pix[:, 2]).astype(np.int64)
+        keep = (z > 1e-6) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        mask = np.zeros((H, W), np.uint8)
+        mask[v[keep], u[keep]] = 1
+        # dilate by ~3 voxel footprints so the splat closes into a region
+        vox = float((self.tbounds[1] - self.tbounds[0]).max()) / 127.0
+        zmed = float(np.median(z[keep])) if keep.any() else 1.0
+        k = int(np.clip(3.0 * vox * float(K[0, 0]) / max(zmed, 1e-3), 3, 31))
+        return cv2.dilate(mask, np.ones((k, k), np.uint8))
 
     def prepare_input(self, i: int):
         """Per-frame SMPL: world/pose verts, A, big_A, pbw volume, Rh, Th.
@@ -383,13 +471,17 @@ class TPoseDataset:
             sample = sampling.sample_rays_mse(
                 img, msk, emap, K, Rc, Tc, wbounds, self.nrays,
                 cfg.sample_mse_portion, cfg.body_sample_ratio,
-                cfg.face_sample_ratio, rng)
+                cfg.face_sample_ratio, rng,
+                restrict_mask=self._prune_mask(i, A, big_A, R, Th,
+                                               K, Rc, Tc, H, W))
             if cfg.erode_edge:
                 orig_msk = erode_edge_mask(orig_msk, border=10)
         elif self.split == "train":
             sample = sampling.sample_rays_train(
                 img, msk, K, Rc, Tc, wbounds, self.nrays,
-                cfg.body_sample_ratio, cfg.face_sample_ratio, rng)
+                cfg.body_sample_ratio, cfg.face_sample_ratio, rng,
+                restrict_mask=self._prune_mask(i, A, big_A, R, Th,
+                                               K, Rc, Tc, H, W))
             if cfg.erode_edge:
                 orig_msk = erode_edge_mask(orig_msk, border=10)
         else:

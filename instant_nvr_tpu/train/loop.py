@@ -188,6 +188,17 @@ def train(cfg: Config, resume: bool = True,
                 save_checkpoint(cfg.trained_model_dir, epoch, state,
                                 recorder.state_dict(), latest=False)
 
+        # refresh the geometry-pruning artifact every epoch (reference
+        # train_net.py:160-162 trainer.tmesh); the dataset picks the new
+        # cube up by mtime on its next item.
+        if cfg.get("prune_using_geo", False) and jax.process_index() == 0:
+            import os
+            from ..eval.mesh import occupancy_grid
+            occ, _ = occupancy_grid(cfg, mspec, state.params, item,
+                                    deformed=False, res=128)
+            os.makedirs(cfg.result_dir, exist_ok=True)
+            np.save(os.path.join(cfg.result_dir, "latest.npy"), occ)
+
         if (epoch + 1) % cfg.eval_ep == 0:
             try:
                 validate(cfg, mspec, rspec, state.params, epoch)
