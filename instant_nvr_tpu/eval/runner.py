@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..datasets.tpose_dataset import TPoseDataset
-from ..datasets.samplers import FrameSampler
+from ..datasets.samplers import FrameSampler, shard_indices
 from ..models import inb
 from ..renderer.inb_renderer import RenderSpec, render_rays
 from .evaluator import Evaluator
@@ -86,6 +86,9 @@ def evaluate_dataset(cfg, mspec, rspec, params, split: str = "test",
     indices = list(sampler)
     if max_items:
         indices = indices[:max_items]
+    # multi-host: each process renders its own item shard (metrics.npy and
+    # the summary are per-process partials; rank 0's covers its shard)
+    indices = shard_indices(indices, jax.process_index(), jax.process_count())
 
     chunk = cfg.render_chunk
     render_fn = make_chunked_renderer(mspec, rspec, chunk)

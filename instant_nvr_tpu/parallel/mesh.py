@@ -43,10 +43,34 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def put_global(v, sharding: NamedSharding):
+    """Place one host value onto a (possibly multi-host) sharding.
+
+    Multi-host contract: every process holds the SAME logical batch (the
+    reference trains one image per step, so all hosts cooperate on one
+    image's rays).  Single-process: plain ``device_put``.  Multi-process:
+    ray-sharded leading axes are sliced to the process-local portion and
+    assembled with ``make_array_from_process_local_data`` — ``device_put``
+    to a sharding with non-addressable devices would fail, and per-process
+    *different* batches would contradict the global ray sharding.
+    """
+    v = np.asarray(v)
+    if jax.process_count() == 1:
+        return jax.device_put(v, sharding)
+    spec = sharding.spec
+    if len(spec) and spec[0] is not None:
+        per = v.shape[0] // jax.process_count()
+        lo = jax.process_index() * per
+        local = v[lo:lo + per]
+    else:
+        local = v
+    return jax.make_array_from_process_local_data(sharding, local, v.shape)
+
+
 def shard_batch(mesh: Mesh, batch: Dict, axis: str = "data") -> Dict:
     """Place a host batch onto the mesh with ray-axis sharding."""
     sh = batch_shardings(mesh, batch, axis)
-    return {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+    return {k: put_global(v, sh[k]) for k, v in batch.items()}
 
 
 def pad_rays_to_multiple(batch: Dict, mult: int) -> Dict:

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config import Config
 from ..datasets.prefetch import Prefetcher
-from ..datasets.samplers import IterationBasedSampler, shard_indices
+from ..datasets.samplers import IterationBasedSampler
 from ..datasets.tpose_dataset import TPoseDataset
 
 from ..models import inb
@@ -44,7 +44,7 @@ def device_batch(item: Dict[str, np.ndarray], reg_dist_weight: float,
     item["reg_dist_weight"] = np.float32(reg_dist_weight)
     out = {k: item[k] for k in DEVICE_KEYS if k in item}
     if shardings is not None:
-        return {k: jax.device_put(v, shardings.get(k)) for k, v in out.items()}
+        return {k: pmesh.put_global(v, shardings[k]) for k, v in out.items()}
     return {k: jnp.asarray(v) for k, v in out.items()}
 
 
@@ -130,9 +130,13 @@ def train(cfg: Config, resume: bool = True,
         ds = datasets[ratio]
         recorder.epoch = epoch
 
+        # multi-host contract: every process walks the SAME indices and
+        # builds the SAME host batch (rng_host is seeded identically); the
+        # ray axis is then globally sharded and each process contributes its
+        # addressable slice (pmesh.put_global).  One image per step, like
+        # the reference — rays are the parallel axis, not images.
         sampler = IterationBasedSampler(len(ds), ep_iter, seed=epoch)
-        indices = shard_indices(sampler.epoch(epoch), jax.process_index(),
-                                jax.process_count())
+        indices = sampler.epoch(epoch)
 
         def produce(i, _ds=ds, _ecfg=ecfg):
             item = _ds.get_item(i, ratio=_ecfg.ratio,

@@ -58,6 +58,24 @@ def test_sharded_train_step_matches_single_device():
                                    rtol=2e-3, atol=2e-5)
 
 
+def test_put_global_process_local_assembly(monkeypatch):
+    """The multi-process branch of put_global (make_array_from_process_local_data
+    with an explicit global shape) assembles the same array as device_put.
+    Single process here, but the branch itself is exercised."""
+    mesh = pmesh.make_mesh()
+    v = np.arange(64 * 3, dtype=np.float32).reshape(64, 3)
+    sh = pmesh.batch_shardings(mesh, {"ray_o": v})["ray_o"]
+    direct = jax.device_put(v, sh)
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    via_local = jax.make_array_from_process_local_data(sh, v, v.shape)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(via_local))
+    # replicated values go through the same API with full local data
+    rep = pmesh.replicated(mesh)
+    s = np.float32(0.5)
+    r = jax.make_array_from_process_local_data(rep, np.asarray(s), ())
+    assert float(r) == 0.5
+
+
 def test_pad_rays_to_multiple():
     batch = {"ray_o": np.zeros((100, 3)), "ray_d": np.zeros((100, 3)),
              "near": np.zeros(100), "far": np.ones(100),
