@@ -14,3 +14,21 @@ Reference behavior parity target: zju3dv/instant-nvr (see SURVEY.md).
 """
 
 __version__ = "0.1.0"
+
+# Persistent compilation cache: remote (tunneled) TPU compiles cost ~40s per
+# program, and the env pre-imports jax via sitecustomize, so the env var
+# alone can be too late — set the config directly at package import.
+def _setup_compilation_cache():
+    import os
+    try:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # ancient jax / no config knob: run uncached
+
+
+_setup_compilation_cache()

@@ -90,7 +90,9 @@ def train(cfg: Config, resume: bool = True,
     opt, schedule = make_optimizer(cfg)
     patch_fn = make_patch_loss_fn(cfg) if lw.use_patch else None
 
-    params = inb.init_params(jax.random.key(0), mspec)
+    # jit the init: eager init ops each compile separately (ruinous through
+    # the remote-compile tunnel); one jitted program compiles once
+    params = jax.jit(lambda k: inb.init_params(k, mspec))(jax.random.key(0))
     state = create_train_state(params, opt)
     recorder = Recorder(cfg.record_dir, resume=resume,
                         enabled=jax.process_index() == 0)
