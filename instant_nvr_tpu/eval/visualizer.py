@@ -33,35 +33,74 @@ def look_at_pose(eye: np.ndarray, center: np.ndarray, up: np.ndarray):
     return R, T
 
 
-def gen_spiral_path(center: np.ndarray, up: np.ndarray, radius: float,
-                    height: float, n_views: int) -> List[Dict[str, np.ndarray]]:
-    """Circular path around the subject (reference gen_path, render_utils.py:61-107)."""
+def gen_path_from_cams(Rs: np.ndarray, Ts: np.ndarray, center: np.ndarray,
+                       n_views: int) -> List[Dict[str, np.ndarray]]:
+    """Elliptical orbit fitted through the ACTUAL input camera poses.
+
+    Functional rebuild of the reference's ``gen_path``
+    (render_utils.py:61-107): average the input cameras' up vectors, fit
+    per-axis orbit radii from the 80th-percentile camera offsets (x1.3,
+    like the reference's ``rads``), keep the mean camera height ("smoothed
+    height"), and sweep ``n_views`` look-at poses around the subject.
+    Rs: (V, 3, 3) world->cam; Ts: (V, 3, 1).
+    """
+    Rs = np.asarray(Rs, np.float64)
+    Ts = np.asarray(Ts, np.float64).reshape(-1, 3, 1)
+    pos = np.einsum("vji,vjk->vik", Rs, -Ts)[..., 0]      # camera centers -R^T T
+    # OpenCV w2c: row 1 of R is the camera's (image-down) y axis in world
+    up = normalize(-Rs[:, 1, :].sum(0))
+
+    rel = pos - center
+    h = rel @ up                                          # height above center
+    planar = rel - np.outer(h, up)
+    e1 = normalize(planar[0]) if np.linalg.norm(planar[0]) > 1e-8 else \
+        normalize(np.cross(up, [1.0, 0.0, 0.0]))
+    e2 = np.cross(up, e1)
+    r1 = max(np.percentile(np.abs(planar @ e1), 80) * 1.3, 1e-3)
+    r2 = max(np.percentile(np.abs(planar @ e2), 80) * 1.3, 1e-3)
+    r2 = max(r2, 0.25 * r1)  # few-camera rigs: avoid a degenerate ellipse
+    height = float(h.mean())
+
     cams = []
-    for i in range(n_views):
-        ang = 2 * np.pi * i / n_views
-        offset = np.array([radius * np.cos(ang), height, radius * np.sin(ang)])
-        eye = center + offset
-        R, T = look_at_pose(eye, center, -up if up[1] < 0 else up)
+    for theta in np.linspace(0.0, 2 * np.pi, n_views, endpoint=False):
+        eye = center + e1 * (r1 * np.cos(theta)) + e2 * (r2 * np.sin(theta)) \
+            + up * height
+        R, T = look_at_pose(eye, center, up)
         cams.append({"R": R, "T": T})
     return cams
 
 
 def render_novel_views(cfg, mspec, params, n_views: Optional[int] = None,
-                       frame_index: int = 0, fps: int = 24):
+                       fps: int = 24):
+    """Bullet-time demo: orbiting camera, optionally animating body.
+
+    ``cfg.render_frame == -1`` (default) animates the body across the
+    training frames while the camera orbits (reference
+    tpose_novel_view_dataset.py:162-171: latent/frame advance per output
+    view); ``render_frame >= 0`` freezes the body at that frame.
+    """
     ds = TPoseDataset(cfg, "test")
-    item = ds.get_item(frame_index)
+    n_frames = max(len(ds) // ds.num_cams, 1)
+    render_frame = int(cfg.get("render_frame", -1))
     n_views = n_views or cfg.get("render_views", 50)
-    H, W = int(item["H"]), int(item["W"])
-    K = np.array(ds.cams["K"][int(item["cam_ind"])]).astype(np.float64).copy()
+
+    items: Dict[int, Dict] = {}
+
+    def frame_item(fi: int) -> Dict:
+        if fi not in items:
+            items[fi] = ds.get_item(fi * ds.num_cams)
+        return items[fi]
+
+    item0 = frame_item(render_frame if render_frame >= 0 else 0)
+    H, W = int(item0["H"]), int(item0["W"])
+    K = np.array(ds.cams["K"][int(item0["cam_ind"])]).astype(np.float64).copy()
     K[:2] *= cfg.eval_ratio
 
-    wb = np.asarray(item["wbounds"]) if "wbounds" in item else None
-    if wb is None:
-        wb = np.asarray(item["pbounds"])
-    center = wb.mean(0)
-    radius = 1.2 * float(np.linalg.norm(wb[1] - wb[0]))
-    cams = gen_spiral_path(center, np.array([0.0, -1.0, 0.0]), radius,
-                           -0.2 * radius, n_views)
+    # camera track derives from the dataset's input cameras
+    Rs = np.array(ds.cams["R"], np.float64)
+    Ts = np.array(ds.cams["T"], np.float64) / 1000.0
+    center = np.asarray(item0["wbounds"]).mean(0)
+    cams = gen_path_from_cams(Rs, Ts, center, n_views)
 
     rspec = make_render_spec(cfg)
     chunk = cfg.render_chunk
@@ -72,6 +111,9 @@ def render_novel_views(cfg, mspec, params, n_views: Optional[int] = None,
     import cv2
     frames = []
     for vi, cam in enumerate(cams):
+        fi = render_frame if render_frame >= 0 else (vi % n_frames)
+        item = frame_item(fi)
+        wb = np.asarray(item["wbounds"])
         ro, rd = get_rays_np(H, W, K, cam["R"], cam["T"])
         ro = ro.reshape(-1, 3).astype(np.float32)
         rd = rd.reshape(-1, 3).astype(np.float32)
@@ -86,7 +128,7 @@ def render_novel_views(cfg, mspec, params, n_views: Optional[int] = None,
         path = os.path.join(out_dir, f"frame_{vi:04d}.png")
         cv2.imwrite(path, img[..., ::-1])
         frames.append(path)
-        print(f"novel view {vi + 1}/{n_views}")
+        print(f"novel view {vi + 1}/{n_views} (body frame {fi})")
 
     merge_into_video(out_dir, os.path.join(cfg.result_dir, "novel_view.mp4"), fps)
     return frames

@@ -6,7 +6,8 @@ import pytest
 
 from instant_nvr_tpu.config import default_config
 from instant_nvr_tpu.datasets.fake_zju import fake_cfg_overrides, write_fake_dataset
-from instant_nvr_tpu.eval.visualizer import gen_spiral_path, look_at_pose
+from instant_nvr_tpu.eval.visualizer import (gen_path_from_cams, look_at_pose,
+                                             normalize)
 
 TINY = dict(n_levels=4, n_features_per_level=4, log2_hashmap_size=10,
             base_resolution=4, b=1.38)
@@ -24,20 +25,37 @@ def test_look_at_pose_geometry():
     assert cam[2] > 0 and abs(cam[0]) < 1e-6 and abs(cam[1]) < 1e-6
 
 
-def test_spiral_path_orbits():
-    cams = gen_spiral_path(np.zeros(3), np.array([0.0, 1.0, 0.0]),
-                           radius=2.0, height=0.3, n_views=8)
-    assert len(cams) == 8
-    centers = np.stack([-c["R"].T @ c["T"].ravel() for c in cams])
-    np.testing.assert_allclose(np.linalg.norm(centers[:, [0, 2]], axis=1),
-                               2.0, atol=1e-6)
+def test_gen_path_derives_from_input_cams():
+    """The orbit's radius, height and up-vector come from the dataset cams."""
+    center = np.array([0.5, -0.2, 3.0])
+    up_true = normalize(np.array([0.1, -1.0, 0.05]))
+    # 6 input cameras on a radius-2 ring at height 0.4 above center
+    e1 = normalize(np.cross(up_true, [0.0, 0.0, 1.0]))
+    e2 = np.cross(up_true, e1)
+    Rs, Ts = [], []
+    for ang in np.linspace(0, 2 * np.pi, 6, endpoint=False):
+        eye = center + 2.0 * (np.cos(ang) * e1 + np.sin(ang) * e2) + 0.4 * up_true
+        R, T = look_at_pose(eye, center, up_true)
+        Rs.append(R), Ts.append(T)
+    cams = gen_path_from_cams(np.stack(Rs), np.stack(Ts), center, n_views=12)
+    assert len(cams) == 12
+    pos = np.stack([-c["R"].T @ c["T"].ravel() for c in cams])
+    rel = pos - center
+    h = rel @ up_true
+    np.testing.assert_allclose(h, 0.4, atol=0.05)          # smoothed height kept
+    r = np.linalg.norm(rel - np.outer(h, up_true), axis=1)
+    assert (r > 1.5).all() and (r < 3.5).all()             # ~input ring x1.3
+    # every generated view looks at the subject center
+    for c in cams:
+        cam_pt = c["R"] @ center + c["T"].ravel()
+        assert cam_pt[2] > 0 and abs(cam_pt[0]) < 1e-6 and abs(cam_pt[1]) < 1e-6
 
 
 def test_render_novel_views(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("zju"))
-    write_fake_dataset(root, n_frames=1, n_views=2, H=64, W=64)
+    write_fake_dataset(root, n_frames=2, n_views=2, H=64, W=64)
     exp = str(tmp_path_factory.mktemp("exp"))
-    cfg = default_config().merged(fake_cfg_overrides(root, n_frames=1)).merged({
+    cfg = default_config().merged(fake_cfg_overrides(root, n_frames=2)).merged({
         "partnet": {p: {"embedder": {"kwargs": TINY}} for p in
                     ("body", "leg", "head", "larm", "rarm")},
         "tpose_deformer": {"embedder": {"kwargs": dict(TINY, sum=False)}},
@@ -52,6 +70,8 @@ def test_render_novel_views(tmp_path_factory):
     from instant_nvr_tpu.eval.visualizer import render_novel_views
     mspec = inb.build_model_spec(cfg)
     params = inb.init_params(jax.random.key(0), mspec)
+    # render_frame=-1 (default): the body animates — views 0/1 render body
+    # frames 0/1 while the camera orbits
     frames = render_novel_views(cfg, mspec, params, n_views=2)
     assert len(frames) == 2
     assert all(os.path.exists(f) for f in frames)
