@@ -20,6 +20,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..ops.ray import get_near_far_np, get_rays_np
+from ..utils import native
 
 
 def _bound_2d_mask(bounds, K, R, T, H, W) -> np.ndarray:
@@ -55,13 +56,16 @@ def _weighted_pick(msk, bound_mask, n_body, n_face, n_rand, rng):
     return np.concatenate(picks, axis=0)
 
 
-def _finalize(img, ray_o, ray_d, coords, bounds, nrays, rng, bound_mask):
-    """Resample until nrays box-hitting rays are collected, then truncate."""
+def _finalize(img, K, R, T, coords, bounds, nrays, rng, bound_mask):
+    """Resample until nrays box-hitting rays are collected, then truncate.
+
+    Rays are generated only for the sampled coords (native ``ray_dirs`` /
+    O(n) numpy) — never as a full H x W grid.
+    """
     out_o, out_d, out_rgb, out_near, out_far, out_coord = [], [], [], [], [], []
     total = 0
     for _round in range(8):
-        o = ray_o[coords[:, 0], coords[:, 1]]
-        d = ray_d[coords[:, 0], coords[:, 1]]
+        o, d = native.ray_dirs(K, R, T, coords)
         rgb = img[coords[:, 0], coords[:, 1]]
         near, far, hit = get_near_far_np(bounds, o, d)
         out_o.append(o[hit]); out_d.append(d[hit]); out_rgb.append(rgb[hit])
@@ -110,7 +114,6 @@ def _apply_restrict(msk, bound_mask, restrict_mask):
 def sample_rays_train(img, msk, K, R, T, bounds, nrays, body_ratio, face_ratio,
                       rng, restrict_mask=None) -> Dict[str, np.ndarray]:
     H, W = img.shape[:2]
-    ray_o, ray_d = get_rays_np(H, W, K, R, T)
     bound_mask = _bound_2d_mask(bounds, K, R, T, H, W)
     img = img.copy()
     img[bound_mask != 1] = 0
@@ -123,7 +126,7 @@ def sample_rays_train(img, msk, K, R, T, bounds, nrays, body_ratio, face_ratio,
     n_face = int(nrays * face_ratio)
     n_rand = nrays - n_body - n_face
     coords = _weighted_pick(msk, bound_mask, n_body, n_face, n_rand, rng)
-    return _finalize(img, ray_o, ray_d, coords, bounds, nrays, rng, bound_mask)
+    return _finalize(img, K, R, T, coords, bounds, nrays, rng, bound_mask)
 
 
 def sample_rays_mse(img, msk, error_map, K, R, T, bounds, nrays, mse_portion,
@@ -131,7 +134,6 @@ def sample_rays_mse(img, msk, error_map, K, R, T, bounds, nrays, mse_portion,
                     restrict_mask=None) -> Dict[str, np.ndarray]:
     """Error-guided: top-20% error pixels get mse_portion of the rays."""
     H, W = img.shape[:2]
-    ray_o, ray_d = get_rays_np(H, W, K, R, T)
     bound_mask = _bound_2d_mask(bounds, K, R, T, H, W)
     img = img.copy()
     img[bound_mask != 1] = 0
@@ -160,7 +162,7 @@ def sample_rays_mse(img, msk, error_map, K, R, T, bounds, nrays, mse_portion,
         n_rand += n_err
     picks.append(_weighted_pick(msk, bound_mask, n_body, n_face, n_rand, rng))
     coords = np.concatenate(picks, axis=0)
-    return _finalize(img, ray_o, ray_d, coords, bounds, nrays, rng, bound_mask)
+    return _finalize(img, K, R, T, coords, bounds, nrays, rng, bound_mask)
 
 
 def sample_coord(img, msk, train_coord, K, R, T, bounds, nrays,
@@ -172,7 +174,6 @@ def sample_coord(img, msk, train_coord, K, R, T, bounds, nrays,
     nrays coords survive the erosion-label filter, truncate to nrays.
     """
     H, W = img.shape[:2]
-    ray_o, ray_d = get_rays_np(H, W, K, R, T)
     bound_mask = _bound_2d_mask(bounds, K, R, T, H, W)
     img = img.copy()
     img[bound_mask != 1] = 0
@@ -203,8 +204,8 @@ def sample_coord(img, msk, train_coord, K, R, T, bounds, nrays,
         near = np.concatenate([near, near[reps]])
         far = np.concatenate([far, far[reps]])
         mask[n:] = 0.0
-    return {"ray_o": ray_o[coord[:, 0], coord[:, 1]].astype(np.float32),
-            "ray_d": ray_d[coord[:, 0], coord[:, 1]].astype(np.float32),
+    o, d = native.ray_dirs(K, R, T, coord)
+    return {"ray_o": o, "ray_d": d,
             "rgb": img[coord[:, 0], coord[:, 1]].astype(np.float32),
             "near": near, "far": far, "coord": coord,
             "mask_at_box": np.ones(nrays, bool), "ray_mask": mask}

@@ -34,6 +34,25 @@ def get_rays_np(H: int, W: int, K: np.ndarray, R: np.ndarray, T: np.ndarray):
     return rays_o, rays_d
 
 
+def rays_for_coords_np(K: np.ndarray, R: np.ndarray, T: np.ndarray,
+                       coords: np.ndarray):
+    """Rays only for an (n, 2) list of (row, col) pixels — O(n), not O(H·W).
+
+    Same math as :func:`get_rays_np` restricted to the sampled pixels; the
+    training samplers draw ~1k rays per item, so building the full image
+    grid (1M+ pixels at ZJU resolution) per item is pure waste.  The native
+    path (csrc/nvrhost.cpp ``ray_dirs``) runs this without the GIL.
+    """
+    rays_o = -np.dot(R.T, T).ravel()
+    xy1 = np.stack([coords[:, 1], coords[:, 0], np.ones(len(coords))],
+                   axis=1).astype(np.float64)
+    pixel_world = np.dot(np.dot(xy1, np.linalg.inv(K).T) - T.ravel(), R)
+    d = pixel_world - rays_o[None]
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    o = np.broadcast_to(rays_o, d.shape)
+    return o.astype(np.float32), d.astype(np.float32)
+
+
 def get_near_far_np(bounds: np.ndarray, ray_o: np.ndarray, ray_d: np.ndarray):
     """AABB slab test -> (near, far, mask_at_box).
 

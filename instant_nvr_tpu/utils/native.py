@@ -64,13 +64,8 @@ def ray_dirs(K: np.ndarray, R: np.ndarray, T: np.ndarray,
     lib = _load()
     n = len(coords)
     if lib is None:
-        from ..ops.ray import get_rays_np
-        # numpy fallback: full-image rays then gather (slower)
-        H = int(coords[:, 0].max()) + 1 if n else 1
-        W = int(coords[:, 1].max()) + 1 if n else 1
-        o, d = get_rays_np(H, W, K, R, T)
-        return (o[coords[:, 0], coords[:, 1]].astype(np.float32),
-                d[coords[:, 0], coords[:, 1]].astype(np.float32))
+        from ..ops.ray import rays_for_coords_np
+        return rays_for_coords_np(K, R, T, coords)
     out_o = np.empty((n, 3), np.float32)
     out_d = np.empty((n, 3), np.float32)
     lib.ray_dirs(np.ascontiguousarray(K, np.float64),
