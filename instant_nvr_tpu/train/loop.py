@@ -83,7 +83,12 @@ def make_patch_loss_fn(cfg):
 
 
 def train(cfg: Config, resume: bool = True,
-          max_epochs: Optional[int] = None) -> TrainState:
+          max_epochs: Optional[int] = None,
+          profile_window: Optional[tuple] = None) -> TrainState:
+    """Run training.  ``profile_window=(lo, hi)`` captures a jax.profiler
+    trace of post-compile steps [lo, hi) only — a whole-run trace is
+    unusable for a 3,000-step run (reference uses a windowed
+    skip/wait/warmup/active torch.profiler schedule, train_net.py:26-46)."""
     mspec = inb.build_model_spec(cfg)
     rspec = make_render_spec(cfg)
     lw = make_loss_weights(cfg)
@@ -120,6 +125,7 @@ def train(cfg: Config, resume: bool = True,
     ep_iter = cfg.ep_iter
     max_iter = n_epochs * ep_iter
     rng_host = np.random.default_rng(0)
+    steps_seen = 0  # post-resume step counter driving the profile window
 
     datasets: Dict[float, TPoseDataset] = {}
 
@@ -155,8 +161,22 @@ def train(cfg: Config, resume: bool = True,
             batch = device_batch(item, ecfg.get("reg_dist_weight", 0.1), shardings)
             data_time = time.time() - t_data
 
+            if profile_window is not None and steps_seen == profile_window[0]:
+                if steps_seen:  # drain in-flight work before tracing
+                    float(stats["loss"])
+                import os
+                jax.profiler.start_trace(os.path.join(cfg.record_dir, "profile"))
+
             rng = jax.random.fold_in(jax.random.key(1), epoch * ep_iter + it)
             state, stats = step_fn(state, batch, rng)
+            steps_seen += 1
+
+            if profile_window is not None and steps_seen == profile_window[1]:
+                float(stats["loss"])  # value fetch: block_until_ready does
+                # not wait for completion through the remote tunnel
+                jax.profiler.stop_trace()
+                print(f"profile trace captured: steps "
+                      f"[{profile_window[0]}, {profile_window[1]})")
 
             if ecfg.get("sample_using_mse", False):
                 if ds.error_map is None:

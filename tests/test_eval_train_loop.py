@@ -49,6 +49,20 @@ def test_train_loop_and_resume(cfg):
     assert int(state2.step) == 8
 
 
+def test_train_profile_window(cfg, tmp_path):
+    """profile_window=(1, 3) traces only that step window into record_dir."""
+    from instant_nvr_tpu.train.loop import train
+    pcfg = cfg.merged({"record_dir": str(tmp_path / "record"),
+                       "trained_model_dir": str(tmp_path / "model"),
+                       "result_dir": str(tmp_path / "res"),
+                       "train": {"epoch": 1}})
+    train(pcfg, resume=False, profile_window=(1, 3))
+    pdir = os.path.join(pcfg.record_dir, "profile")
+    assert os.path.isdir(pdir)
+    traced = [f for _, _, fs in os.walk(pdir) for f in fs]
+    assert traced, "no trace files captured"
+
+
 def test_evaluate_dataset(cfg):
     import jax
     from instant_nvr_tpu.eval.runner import evaluate_dataset

@@ -18,7 +18,11 @@ def main():
     parser.add_argument("--dry_run", action="store_true")
     parser.add_argument("--no_resume", action="store_true")
     parser.add_argument("--profile", action="store_true",
-                        help="capture a jax.profiler trace of the first steps")
+                        help="capture a windowed jax.profiler trace")
+    parser.add_argument("--profile_window", default="20:36",
+                        help="step window 'start:stop' for --profile "
+                             "(reference torch.profiler schedule, "
+                             "train_net.py:26-46)")
     parser.add_argument("--detect_anomaly", action="store_true",
                         help="jax debug_nans (reference torch detect_anomaly)")
     parser.add_argument("--distributed", action="store_true",
@@ -57,12 +61,12 @@ def main():
         return
 
     from instant_nvr_tpu.train.loop import train
+    profile_window = None
     if args.profile:
-        import os
-        jax.profiler.start_trace(os.path.join(cfg.record_dir, "profile"))
-    state = train(cfg, resume=not args.no_resume)
-    if args.profile:
-        jax.profiler.stop_trace()
+        lo, hi = (int(x) for x in args.profile_window.split(":"))
+        profile_window = (lo, hi)
+    state = train(cfg, resume=not args.no_resume,
+                  profile_window=profile_window)
 
     if args.test:
         from instant_nvr_tpu.eval.runner import evaluate_dataset
