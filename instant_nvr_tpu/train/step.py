@@ -32,6 +32,7 @@ class LossWeights(NamedTuple):
     free_weight: float = 1e-4
     use_occ: bool = False         # BCE(max occ, 1) on mask-foreground rays
     occ_weight: float = 1e-4
+    rgb_resd: float = 0.01        # rgb residual coefficient (rgb_resd_loss_coe)
 
 
 def make_loss_weights(cfg) -> LossWeights:
@@ -51,12 +52,62 @@ def make_loss_weights(cfg) -> LossWeights:
         free_weight=cfg.get("free_loss_weight", 1e-4),
         use_occ=cfg.get("use_occ_loss", False),
         occ_weight=cfg.get("occ_loss_weight", 1e-4),
+        rgb_resd=cfg.get("rgb_resd_loss_coe", 0.01),
     )
+
+
+def variant_losses(ret: Dict, batch: Dict, lw: LossWeights,
+                   step) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Model-variant loss branches, gated on ret keys like the reference.
+
+    Mirrors inb_trainer.py:100-148: the inb part-model emits none of these
+    keys (so they are inert on the flagship path, same as the reference);
+    SDF/normal/residual model variants that do emit them get the same
+    objectives.  Returns (loss contribution, stats).
+    """
+    from ..ops.math import safe_norm
+    from .crit import elastic_crit, normal_crit, sdf_mask_crit
+
+    stats: Dict[str, jnp.ndarray] = {}
+    loss = jnp.zeros((), jnp.float32)
+
+    if "rgb_res" in ret:
+        l = jnp.mean(safe_norm(ret["rgb_res"], axis=-1))
+        stats["rgb_resd_loss"] = l
+        loss = loss + lw.rgb_resd * l
+    if "fw_resd" in ret:
+        l = jnp.mean(safe_norm(ret["fw_resd"] + ret["bw_resd"], axis=-1))
+        stats["fwresd_loss"] = l
+        loss = loss + l
+    if "pred_pbw" in ret:
+        l = jnp.mean((ret["pred_pbw"] - ret["smpl_tbw"]) ** 2)
+        stats["tbw_loss"] = l
+        loss = loss + l
+    if "msk_sdf" in ret:
+        l = sdf_mask_crit(ret["msk_sdf"], ret["msk_label"], step)
+        stats["mask_loss"] = l
+        loss = loss + l
+    if "surf_normal" in ret and "normal" in batch:
+        l = normal_crit(ret["surf_normal"], batch["normal"], batch["ray_d"])
+        stats["normal_loss"] = l
+        loss = loss + 0.01 * l
+    for key, name in (("gradients", "grad_loss"),
+                      ("observed_gradients", "ograd_loss")):
+        if key in ret:  # eikonal
+            l = jnp.mean((safe_norm(ret[key], axis=-1) - 1.0) ** 2)
+            stats[name] = l
+            loss = loss + 0.1 * l
+    if "resd_jacobian" in ret:
+        l = elastic_crit(ret["resd_jacobian"])
+        stats["elas_loss"] = l
+        loss = loss + 0.1 * l
+    return loss, stats
 
 
 def compute_losses(mspec: inb.ModelSpec, rspec: RenderSpec, lw: LossWeights,
                    params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
-                   patch_loss_fn=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                   patch_loss_fn=None,
+                   step=0) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (total_loss, scalar_stats).  ``batch['rgb']`` is GT per ray.
 
     Loss terms and weights follow inb_trainer.py:40-240:
@@ -124,6 +175,10 @@ def compute_losses(mspec: inb.ModelSpec, rspec: RenderSpec, lw: LossWeights,
             stats["occ_loss"] = ol2
             loss = loss + lw.occ_weight * ol2
 
+    vloss, vstats = variant_losses(ret, batch, lw, step)
+    loss = loss + vloss
+    stats.update(vstats)
+
     for k in ("cull_overflow", "part_overflow"):
         if k in ret:
             stats[k] = ret[k]
@@ -142,7 +197,8 @@ def make_train_step(mspec: inb.ModelSpec, rspec: RenderSpec, lw: LossWeights,
 
     def train_step(state: TrainState, batch, rng):
         def loss_fn(p):
-            return compute_losses(mspec, rspec, lw, p, batch, rng, patch_loss_fn)
+            return compute_losses(mspec, rspec, lw, p, batch, rng,
+                                  patch_loss_fn, step=state.step)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
