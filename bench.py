@@ -36,6 +36,15 @@ def main():
         state, stats = step(state, batch, rngs[i % 8])
     jax.block_until_ready(stats["loss"])
 
+    import os
+    trace_dir = os.environ.get("BENCH_TRACE", "")
+    if trace_dir:  # profile a 5-step window (analyze: tools/analyze_trace.py)
+        jax.profiler.start_trace(trace_dir)
+        for i in range(5):
+            state, stats = step(state, batch, rngs[i % 8])
+        float(stats["loss"])
+        jax.profiler.stop_trace()
+
     n_steps = 30
     t0 = time.perf_counter()
     for i in range(n_steps):
