@@ -39,9 +39,11 @@ from sympy import nextprime
 from .pallas.segmented_scatter import TILE_ROWS, segmented_scatter_add
 
 # tables whose f32 gradient exceeds XLA's fast (VMEM-resident, ~20 ns/row)
-# scatter path get the sorted-segment Pallas backward; the threshold is the
-# measured ~17 MB fast/slow cliff (docs/PERF.md round 2)
-KERNEL_MIN_ROWS = 278_000
+# scatter path get the sorted-segment Pallas backward; originally set at the
+# measured ~17 MB fast/slow cliff (278k rows x F16), lowered after round-2
+# traces showed the 200k-230k-row dense tables scattering at ~15 ns/row
+# (5.4 ms for 360k records) — the sort+kernel does those in ~2 ms
+KERNEL_MIN_ROWS = 190_000
 
 
 def _use_scatter_kernel(n_rows: int, dtype) -> bool:
@@ -60,13 +62,16 @@ def _is_packed(n_rows: int, F: int) -> bool:
 
 
 def _lane_select(wide: jnp.ndarray, idx: jnp.ndarray, F: int) -> jnp.ndarray:
-    """wide: (R, 128) gathered packed rows; pick each row's F-lane block."""
+    """wide: (R, 128) gathered packed rows; pick each row's F-lane block.
+
+    One-hot contraction over the rpl axis: a single pass over ``wide``
+    (the k-loop where/add variant re-read the full (R, 128) gather rpl
+    times — ~8.3 ms/step across tables, traced round 2).
+    """
     rpl = 128 // F
-    c = idx % rpl
-    out = jnp.zeros((idx.shape[0], F), wide.dtype)
-    for k in range(rpl):
-        out = out + jnp.where((c == k)[:, None], wide[:, F * k:F * k + F], 0)
-    return out
+    oh = (idx % rpl)[:, None] == jnp.arange(rpl, dtype=idx.dtype)[None, :]
+    w3 = wide.reshape(-1, rpl, F)
+    return jnp.sum(jnp.where(oh[:, :, None], w3, 0), axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
