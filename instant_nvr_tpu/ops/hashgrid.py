@@ -36,6 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 from sympy import nextprime
 
+from .pallas.onehot_scatter import (onehot_scatter_add,
+                                    onehot_scatter_profitable)
 from .pallas.segmented_scatter import TILE_ROWS, segmented_scatter_add
 
 # tables whose f32 gradient exceeds XLA's fast (VMEM-resident, ~20 ns/row)
@@ -74,35 +76,45 @@ def _lane_select(wide: jnp.ndarray, idx: jnp.ndarray, F: int) -> jnp.ndarray:
     return jnp.sum(jnp.where(oh[:, :, None], w3, 0), axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def table_gather(table: jnp.ndarray, idx: jnp.ndarray, n_levels: int,
-                 F: int):
-    """Logical-row gather with a sorted-segment scatter-add backward.
+                 F: int, level_offsets: Tuple[int, ...] = None):
+    """Logical-row gather with a kernel scatter-add backward.
 
     table: (T_rows, F) plain, or (T_rows // (128//F), 128) packed (decided
     by ``_is_packed``); idx: (R,) int32 of LOGICAL rows, level-major with
     per-level index ranges disjoint and ascending (dense offsets /
     l*table_size bases give this for free) — required for the batched
-    per-level sort to produce a globally sorted record stream.
+    per-level sort to produce a globally sorted record stream, and for the
+    small-table one-hot kernel's per-level row windows.  ``level_offsets``
+    (static, len n_levels+1) are the level row starts + total rows.
     """
     if table.shape[1] != F:                    # packed storage
         return _lane_select(table[idx // (128 // F)], idx, F)
     return table[idx]
 
 
-def _table_gather_fwd(table, idx, n_levels, F):
+def _table_gather_fwd(table, idx, n_levels, F, level_offsets):
     # the table rides along only for its shape/dtype (no copy is made)
-    return table_gather(table, idx, n_levels, F), (table, idx)
+    return table_gather(table, idx, n_levels, F, level_offsets), (table, idx)
 
 
-def _table_gather_bwd(n_levels, F, res, g):
+def _table_gather_bwd(n_levels, F, level_offsets, res, g):
     (table, idx) = res
     packed = table.shape[1] != F
     n_rows = table.shape[0] * (128 // F) if packed else table.shape[0]
+    on_accel = jax.default_backend() not in ("cpu",)
     if (_use_scatter_kernel(n_rows, table.dtype)
             and n_rows % TILE_ROWS == 0 and packed):
         grad = segmented_scatter_add(idx, g.astype(jnp.bfloat16), n_rows,
                                      n_levels=n_levels, packed_out=True)
+    elif (on_accel and not packed and table.dtype == jnp.bfloat16
+          and level_offsets is not None
+          and onehot_scatter_profitable(n_rows, F, idx.shape[0],
+                                        level_offsets)):
+        # tiny table, huge record count: VMEM one-hot-matmul accumulate
+        grad = onehot_scatter_add(idx, g.astype(jnp.bfloat16), n_rows,
+                                  level_offsets)
     else:
         grad = jnp.zeros((n_rows, F), table.dtype).at[idx].add(g)
         if packed:
@@ -252,9 +264,9 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
     w = (1.0 - cf)[None, None] + (2.0 * cf - 1.0)[None, None] * off[:, :, None, :]
     w = w[..., 0] * w[..., 1] * w[..., 2]  # (L, N, 8)
 
-    def interp(table, ind, n_lev):
-        v = table_gather(table, ind.reshape(-1), n_lev,
-                         F).reshape(n_lev, N, 8, F)
+    def interp(table, ind, n_lev, level_offsets):
+        v = table_gather(table, ind.reshape(-1), n_lev, F,
+                         level_offsets).reshape(n_lev, N, 8, F)
         lo = 0 if table is params["dense"] else S
         return jnp.sum(w[lo:lo + n_lev, ..., None] * v, axis=-2)  # (n_lev, N, F)
 
@@ -273,7 +285,8 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
         ind_d = (idx[:S, ..., 0] * (nd * nd) + idx[:S, ..., 1] * nd
                  + idx[:S, ..., 2])  # (S, N, 8)
         ind_d = ind_d + jnp.array(spec.dense_offsets, dtype=jnp.int32)[:, None, None]
-        vals.append(interp(params["dense"], ind_d, S))
+        vals.append(interp(params["dense"], ind_d, S,
+                           spec.dense_offsets + (spec.dense_total,)))
     if H > 0:
         p0, p1, p2 = (jnp.uint32(p) for p in spec.primes)
         ih = idx[S:].astype(jnp.uint32)
@@ -281,7 +294,8 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
         ind_h = (ind_h % jnp.uint32(spec.table_size)).astype(jnp.int32)  # (H, N, 8)
         ind_h = ind_h + (jnp.arange(H, dtype=jnp.int32)
                          * spec.table_size)[:, None, None]
-        vals.append(interp(params["hash"], ind_h, H))
+        vals.append(interp(params["hash"], ind_h, H,
+                           tuple(l * spec.table_size for l in range(H + 1))))
     val = jnp.concatenate(vals, axis=0) if len(vals) > 1 else vals[0]  # (L, N, F)
 
     val = jnp.swapaxes(val, 0, 1).astype(x01.dtype)  # (N, L, F)

@@ -61,6 +61,21 @@ def main():
     if serr > 0.05 * max(1.0, np.abs(ref).max()):
         failures.append("segmented_scatter_add wrong on this hardware")
 
+    # 1c. compiled one-hot small-table scatter == numpy oracle
+    from instant_nvr_tpu.ops.pallas.onehot_scatter import onehot_scatter_add
+    To, Ro = 12276, 1_081_344
+    ko = rng.integers(0, To, Ro).astype(np.int32)
+    po = rng.normal(size=(Ro, 2)).astype(np.float32)
+    got_o = np.asarray(onehot_scatter_add(
+        jnp.asarray(ko), jnp.asarray(po, jnp.bfloat16), To, (0, To)),
+        np.float32)
+    ref_o = np.zeros((To, 2), np.float32)
+    np.add.at(ref_o, ko, jnp.asarray(po, jnp.bfloat16).astype(np.float32))
+    oerr = np.abs(got_o - ref_o).max() / (np.abs(ref_o).max() + 1e-6)
+    print(f"[1c] one-hot scatter-add rel err vs numpy: {oerr:.4f}")
+    if oerr > 0.05:
+        failures.append("onehot_scatter_add wrong on this hardware")
+
     # 2. f32 matmul precision sanity (MXU truncation detector)
     x = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
     got = np.asarray(jax.jit(lambda m: m @ m)(x))
