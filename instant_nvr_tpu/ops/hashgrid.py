@@ -268,6 +268,10 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
         v = table_gather(table, ind.reshape(-1), n_lev, F,
                          level_offsets).reshape(n_lev, N, 8, F)
         lo = 0 if table is params["dense"] else S
+        # NOTE: lerp accumulates in f32 (w's dtype).  A bf16-lerp variant
+        # (wc = w.astype(table.dtype)) was measured SLOWER (-7% step
+        # throughput): the weight-array converts + bf16 VPU reduces cost
+        # more than the f32 corner promotion they replace.
         return jnp.sum(w[lo:lo + n_lev, ..., None] * v, axis=-2)  # (n_lev, N, F)
 
     # one flat gather per table: (S,N,8) dense indices into (dense_total, F)
