@@ -54,6 +54,10 @@ _DEFAULTS = dict(
     # per-part point budgets as fractions of the culled set; '' = dense vmap
     part_mode="budget",            # 'dense' | 'budget'
     part_budget=0.5,
+    # measure cull/part budgets from probe dataset items at startup
+    # (models/budget.py) instead of the human-tuned fractions above
+    auto_budget=False,
+    budget_headroom=1.25,
     knn_chunk=2048,                # query chunk for the brute-force KNN
     # -- precision --------------------------------------------------------
     mlp_dtype="bfloat16",          # matmul dtype for the tiny MLPs

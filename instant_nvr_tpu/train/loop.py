@@ -89,6 +89,8 @@ def train(cfg: Config, resume: bool = True,
     trace of post-compile steps [lo, hi) only — a whole-run trace is
     unusable for a 3,000-step run (reference uses a windowed
     skip/wait/warmup/active torch.profiler schedule, train_net.py:26-46)."""
+    from ..models.budget import apply_auto_budget
+    cfg = apply_auto_budget(cfg)
     mspec = inb.build_model_spec(cfg)
     rspec = make_render_spec(cfg)
     lw = make_loss_weights(cfg)
