@@ -117,3 +117,16 @@ def test_schp_palette_shape():
     pal = schp_palette(20)
     assert pal.shape == (20, 3)
     assert (pal[0] == 0).all()
+
+
+def test_novel_pose_split(cfg):
+    """test_novel_pose evaluates unseen frames with the last trained latent
+    (reference tpose_dataset.py:60-66,495-496)."""
+    ncfg = cfg.merged({"test_novel_pose": True, "num_train_frame": 1,
+                       "num_eval_frame": 1})
+    ds_train = TPoseDataset(cfg.merged({"num_train_frame": 1}), "test")
+    ds_novel = TPoseDataset(ncfg, "test")
+    # the novel split starts after the training frames
+    assert ds_novel._frame_id(0) == ds_train._frame_id(0) + 1
+    item = ds_novel.get_item(0)
+    assert int(item["latent_index"]) == 0  # clamped to last trained code
