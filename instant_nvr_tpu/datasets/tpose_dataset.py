@@ -233,13 +233,31 @@ class TPoseDataset:
         cfg = self.cfg
         if not cfg.get("prune_using_geo", False):
             return None
+        # an in-memory install (set_prune_geometry, refreshed every epoch)
+        # outranks the file — non-zero ranks may have no file at all
+        if self._prune_cache is not None and self._prune_cache[0] == -1.0:
+            return self._prune_cache[1:]
         path = os.path.join(cfg.result_dir, "latest.npy")
         if not os.path.exists(path):
             return None
         mtime = os.path.getmtime(path)
         if self._prune_cache is not None and self._prune_cache[0] == mtime:
             return self._prune_cache[1:]
-        cube = np.load(path)
+        self._ingest_prune_cube(np.load(path), mtime)
+        return self._prune_cache[1:]
+
+    def set_prune_geometry(self, cube: np.ndarray):
+        """Install an in-memory occupancy cube directly.
+
+        Multi-host training uses this instead of the latest.npy file
+        round-trip: every process computes the same cube from replicated
+        params, keeping the same-batch-everywhere contract without shared
+        filesystems or write/read races (train/loop.py prune refresh)."""
+        self._ingest_prune_cube(cube, mtime=-1.0)
+
+    def _ingest_prune_cube(self, cube: np.ndarray, mtime: float):
+        """Threshold at the top-10% densities -> subsampled canonical
+        centers + nearest blend weights (reference tpose_dataset.py:512-527)."""
         flat = cube.reshape(-1)
         n_top = max(int((flat > -1).sum() * 0.1), 1)
         thresh = np.partition(flat, -n_top)[-n_top]
@@ -261,9 +279,9 @@ class TPoseDataset:
             nn = cKDTree(self.tpose).query(pts)[1]
             w = self.weights[nn]
         w = w / np.maximum(w.sum(-1, keepdims=True), 1e-8)
-        self._prune_cache = (mtime, pts.astype(np.float32), w.astype(np.float32))
+        self._prune_cache = (mtime, pts.astype(np.float32),
+                             w.astype(np.float32), int(max(cube.shape)))
         self._prune_world.clear()
-        return self._prune_cache[1:]
 
     def _prune_mask(self, i: int, A, big_A, R, Th, K, Rc, Tc, H, W):
         """Pixel mask of the projected occupied geometry for frame ``i``.
@@ -276,7 +294,7 @@ class TPoseDataset:
         geo = self._prune_points()
         if geo is None:
             return None
-        pts, w = geo
+        pts, w, cube_res = geo
         xw = self._prune_world.get(i)
         if xw is None:
             A_bw = (w @ A.reshape(NUM_BONES, 16)).reshape(-1, 4, 4)
@@ -298,7 +316,8 @@ class TPoseDataset:
         mask = np.zeros((H, W), np.uint8)
         mask[v[keep], u[keep]] = 1
         # dilate by ~3 voxel footprints so the splat closes into a region
-        vox = float((self.tbounds[1] - self.tbounds[0]).max()) / 127.0
+        vox = float((self.tbounds[1] - self.tbounds[0]).max()) \
+            / max(cube_res - 1, 1)
         zmed = float(np.median(z[keep])) if keep.any() else 1.0
         k = int(np.clip(3.0 * vox * float(K[0, 0]) / max(zmed, 1e-3), 3, 31))
         return cv2.dilate(mask, np.ones((k, k), np.uint8))

@@ -85,10 +85,15 @@ def render_novel_views(cfg, mspec, params, n_views: Optional[int] = None,
     n_views = n_views or cfg.get("render_views", 50)
 
     items: Dict[int, Dict] = {}
+    keep = set(META_KEYS) | {"wbounds", "H", "W", "cam_ind"}
 
     def frame_item(fi: int) -> Dict:
         if fi not in items:
-            items[fi] = ds.get_item(fi * ds.num_cams)
+            full = ds.get_item(fi * ds.num_cams)
+            # keep only the per-frame metadata: the item's own full-image
+            # ray tensors (~1M rays at ZJU resolution) are regenerated from
+            # the orbit cameras below, so caching them would hold GBs
+            items[fi] = {k: v for k, v in full.items() if k in keep}
         return items[fi]
 
     item0 = frame_item(render_frame if render_frame >= 0 else 0)

@@ -65,8 +65,6 @@ def onehot_scatter_profitable(n_rows: int, F: int, R: int,
         return False
     n_levels = len(level_offsets) - 1
     starts, p_pad = _windows(level_offsets, rpl)
-    if max(starts) + p_pad > t_packed + 8:  # window would need huge table pad
-        pass  # handled by padding below; no rejection
     r_l = R // n_levels
     n_chunks = n_levels * (-(-r_l // CHUNK))
     flops = n_chunks * p_pad * CHUNK * 128 * 2

@@ -128,6 +128,7 @@ def train(cfg: Config, resume: bool = True,
     max_iter = n_epochs * ep_iter
     rng_host = np.random.default_rng(0)
     steps_seen = 0  # post-resume step counter driving the profile window
+    profiling = False
 
     datasets: Dict[float, TPoseDataset] = {}
 
@@ -168,15 +169,17 @@ def train(cfg: Config, resume: bool = True,
                     float(stats["loss"])
                 import os
                 jax.profiler.start_trace(os.path.join(cfg.record_dir, "profile"))
+                profiling = True
 
             rng = jax.random.fold_in(jax.random.key(1), epoch * ep_iter + it)
             state, stats = step_fn(state, batch, rng)
             steps_seen += 1
 
-            if profile_window is not None and steps_seen == profile_window[1]:
+            if profiling and steps_seen >= profile_window[1]:
                 float(stats["loss"])  # value fetch: block_until_ready does
                 # not wait for completion through the remote tunnel
                 jax.profiler.stop_trace()
+                profiling = False
                 print(f"profile trace captured: steps "
                       f"[{profile_window[0]}, {profile_window[1]})")
 
@@ -217,15 +220,20 @@ def train(cfg: Config, resume: bool = True,
                                 recorder.state_dict(), latest=False)
 
         # refresh the geometry-pruning artifact every epoch (reference
-        # train_net.py:160-162 trainer.tmesh); the dataset picks the new
-        # cube up by mtime on its next item.
-        if cfg.get("prune_using_geo", False) and jax.process_index() == 0:
+        # train_net.py:160-162 trainer.tmesh).  EVERY process computes the
+        # cube (replicated params + identical item -> identical cube) and
+        # installs it in-memory, preserving the same-batch-everywhere
+        # contract; only rank 0 writes the latest.npy artifact.
+        if cfg.get("prune_using_geo", False):
             import os
             from ..eval.mesh import occupancy_grid
             occ, _ = occupancy_grid(cfg, mspec, state.params, item,
                                     deformed=False, res=128)
-            os.makedirs(cfg.result_dir, exist_ok=True)
-            np.save(os.path.join(cfg.result_dir, "latest.npy"), occ)
+            for dset in datasets.values():
+                dset.set_prune_geometry(occ)
+            if jax.process_index() == 0:
+                os.makedirs(cfg.result_dir, exist_ok=True)
+                np.save(os.path.join(cfg.result_dir, "latest.npy"), occ)
 
         if (epoch + 1) % cfg.eval_ep == 0:
             try:
@@ -243,6 +251,10 @@ def train(cfg: Config, resume: bool = True,
             except FileNotFoundError as e:
                 print(f"skipping vis (no data): {e}")
 
+    if profiling:  # window end past the final step: still flush the trace
+        jax.profiler.stop_trace()
+        print(f"profile trace captured: steps [{profile_window[0]}, "
+              f"{steps_seen}) (run ended inside the window)")
     if t_start is not None:
         total = time.time() - t_start
         print(f"training wall-clock (post-compile): {total:.1f}s")

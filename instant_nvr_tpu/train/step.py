@@ -33,6 +33,7 @@ class LossWeights(NamedTuple):
     use_occ: bool = False         # BCE(max occ, 1) on mask-foreground rays
     occ_weight: float = 1e-4
     rgb_resd: float = 0.01        # rgb residual coefficient (rgb_resd_loss_coe)
+    num_trained_mask: int = 2 ** 30   # msk_sdf loss only for latents below this
 
 
 def make_loss_weights(cfg) -> LossWeights:
@@ -53,6 +54,7 @@ def make_loss_weights(cfg) -> LossWeights:
         use_occ=cfg.get("use_occ_loss", False),
         occ_weight=cfg.get("occ_loss_weight", 1e-4),
         rgb_resd=cfg.get("rgb_resd_loss_coe", 0.01),
+        num_trained_mask=int(cfg.get("num_trained_mask", 2 ** 30)),
     )
 
 
@@ -84,7 +86,11 @@ def variant_losses(ret: Dict, batch: Dict, lw: LossWeights,
         stats["tbw_loss"] = l
         loss = loss + l
     if "msk_sdf" in ret:
-        l = sdf_mask_crit(ret["msk_sdf"], ret["msk_label"], step)
+        # reference gates mask supervision to early latent codes
+        # (inb_trainer.py:115: latent_index < cfg.num_trained_mask)
+        gate = (batch.get("latent_index", 0) < lw.num_trained_mask)
+        l = sdf_mask_crit(ret["msk_sdf"], ret["msk_label"], step) \
+            * jnp.asarray(gate, jnp.float32)
         stats["mask_loss"] = l
         loss = loss + l
     if "surf_normal" in ret and "normal" in batch:

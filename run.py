@@ -159,6 +159,11 @@ def main():
     cfg = make_cfg(args.cfg_file, args.opts)
     if args.epoch >= 0:
         cfg = cfg.replace(test=cfg.test.replace(epoch=args.epoch))
+    if cfg.get("auto_budget", False):
+        # same budget probe as training, so eval/vis/export paths build the
+        # model spec with the budgets the checkpoint was trained at
+        from instant_nvr_tpu.models.budget import apply_auto_budget
+        cfg = apply_auto_budget(cfg)
 
     dispatch = {
         "evaluate": run_evaluate,
