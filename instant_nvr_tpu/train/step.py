@@ -34,6 +34,9 @@ class LossWeights(NamedTuple):
     occ_weight: float = 1e-4
     rgb_resd: float = 0.01        # rgb residual coefficient (rgb_resd_loss_coe)
     num_trained_mask: int = 2 ** 30   # msk_sdf loss only for latents below this
+    remat: bool = False           # checkpoint the render forward (trade ~30%
+    # step time for ~half the activation HBM; needed for big budgets in
+    # patch mode — 4096 rays x 64 samples at cull 0.6 OOMs a 16G chip)
 
 
 def make_loss_weights(cfg) -> LossWeights:
@@ -55,6 +58,7 @@ def make_loss_weights(cfg) -> LossWeights:
         occ_weight=cfg.get("occ_loss_weight", 1e-4),
         rgb_resd=cfg.get("rgb_resd_loss_coe", 0.01),
         num_trained_mask=int(cfg.get("num_trained_mask", 2 ** 30)),
+        remat=cfg.get("remat", False),
     )
 
 
@@ -123,7 +127,12 @@ def compute_losses(mspec: inb.ModelSpec, rspec: RenderSpec, lw: LossWeights,
       - distortion * reg_dist_weight (traced, stage-scheduled)
       - residual magnitude * resd_loss_weight
     """
-    ret = render_rays(mspec, rspec, params, batch, train=True, rng=rng)
+    if lw.remat:
+        ret = jax.checkpoint(
+            lambda p, b, r: render_rays(mspec, rspec, p, b, train=True,
+                                        rng=r))(params, batch, rng)
+    else:
+        ret = render_rays(mspec, rspec, params, batch, train=True, rng=rng)
     stats: Dict[str, jnp.ndarray] = {}
     loss = jnp.zeros((), jnp.float32)
 
