@@ -83,13 +83,31 @@ def estimate_budgets(cfg, dataset, n_probe: int = 4,
 
 
 def apply_auto_budget(cfg, split: str = "train"):
-    """Returns cfg with measured budgets when ``cfg.auto_budget`` is set."""
+    """Returns cfg with measured budgets when ``cfg.auto_budget`` is set.
+
+    Budgets are clamped so the total per-part point count stays under
+    ``auto_budget_max_points``: embedding-gather intermediates scale with
+    part points x levels x 8 corners x 128 lanes, and un-capped budgets on
+    oversized subjects compile to >16 GB of HBM temps (measured: patch
+    mode at cull 0.6 wanted 13.3 GB program + 3 GB params).
+    """
     if not cfg.get("auto_budget", False):
         return cfg
     from ..datasets.tpose_dataset import TPoseDataset
     ds = TPoseDataset(cfg, split)
     cull, part, scales = estimate_budgets(
         cfg, ds, headroom=cfg.get("budget_headroom", 1.25))
+
+    patch = any(cfg.get(f"use_{k}", False)
+                for k in ("lpips", "ssim", "fourier", "tv_image"))
+    n_rays = cfg.patch_size ** 2 if patch else cfg.N_rand
+    total_pp = part * (cull * n_rays * cfg.N_samples) * sum(scales)
+    cap = cfg.get("auto_budget_max_points", 131072)
+    if total_pp > cap:
+        part *= cap / total_pp
+        print(f"auto_budget: part budget clamped to {part:.3f} "
+              f"(memory cap {cap} part-points; expect some overflow)")
+
     print(f"auto_budget: cull {cfg.cull_budget} -> {cull:.3f}, part "
           f"{cfg.part_budget} -> {part:.3f}, scales "
           f"{tuple(round(s, 2) for s in scales)}")
