@@ -74,3 +74,32 @@ def test_freq_encode_reference_semantics():
     # level 3 (freq 8) blocks
     np.testing.assert_allclose(out[0, 21:24], np.sin(8 * np.array([0.5, -0.25, 1.0])),
                                atol=1e-5)
+
+
+def test_remat_step_matches_plain():
+    """remat=True recomputes the forward in backward — numerically identical."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from instant_nvr_tpu.datasets import synthetic
+    from instant_nvr_tpu.renderer.inb_renderer import RenderSpec
+    from instant_nvr_tpu.train.state import TrainState
+    from instant_nvr_tpu.train.step import LossWeights, make_train_step
+    from instant_nvr_tpu.models import inb
+    from test_model import tiny_spec
+
+    spec = tiny_spec()
+    scene = synthetic.make_scene(n_verts=300, grid=12)
+    view = synthetic.render_gt(scene, H=24, W=24)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic.make_batch(scene, view, n_rays=64).items()}
+    opt = optax.adam(1e-3, eps=1e-15)
+    params = inb.init_params(jax.random.key(0), spec)
+    rspec = RenderSpec(n_samples=8, pair_budget=64)
+    losses = []
+    for remat in (False, True):
+        st = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+        step = jax.jit(make_train_step(spec, rspec, LossWeights(remat=remat), opt))
+        st, stats = step(st, batch, jax.random.key(0))
+        losses.append(float(stats["loss"]))
+    assert losses[0] == losses[1]
