@@ -41,9 +41,16 @@ def make_optimizer(cfg):
                       for m in sched_cfg.milestones}
         schedule = optax.piecewise_constant_schedule(cfg.train.lr, boundaries)
 
+    # opt-in bf16 FIRST moment (optax mu_dtype; the second moment stays f32
+    # so eps=1e-15 keeps working): the Adam sweep over the ~286M table
+    # entries is HBM-bound (~11 ms/step, docs/PERF.md) and mu is a quarter
+    # of its traffic.  Off by default for exact reference parity.
+    mom_dtype = {"bfloat16": jax.numpy.bfloat16}.get(
+        cfg.train.get("moment_dtype", "float32"))
+
     optim = cfg.train.get("optim", "adam")
     if optim == "adam":
-        opt = optax.adam(schedule, eps=cfg.train.eps)
+        opt = optax.adam(schedule, eps=cfg.train.eps, mu_dtype=mom_dtype)
     elif optim == "radam":
         opt = optax.radam(schedule, eps=cfg.train.eps)
     elif optim == "sgd":

@@ -65,3 +65,19 @@ def test_config_hashable():
     assert isinstance(hash(cfg), int)
     d = {cfg: 1}
     assert d[default_config()] == 1
+
+
+def test_moment_dtype_bf16():
+    import jax.numpy as jnp
+    from instant_nvr_tpu.config import default_config
+    from instant_nvr_tpu.train.state import make_optimizer
+    cfg = default_config().merged({"train": {"moment_dtype": "bfloat16"}})
+    opt, _ = make_optimizer(cfg)
+    params = {"w": jnp.ones((8, 4))}
+    st = opt.init(params)
+    import optax
+    mu = optax.tree_utils.tree_get(st, "mu")
+    assert mu["w"].dtype == jnp.bfloat16
+    g = {"w": jnp.full((8, 4), 0.1)}
+    upd, st = opt.update(g, st, params)
+    assert jnp.isfinite(upd["w"]).all()
