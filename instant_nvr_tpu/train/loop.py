@@ -37,15 +37,57 @@ DEVICE_KEYS = ("rgb", "ray_o", "ray_d", "near", "far", "ray_mask", "occupancy",
                "tuv_sizes", "part_pts", "part_pbw", "lengths2", "part_bounds",
                "R", "Th", "latent_index", "frame_dim", "reg_dist_weight")
 
+# keys that are a pure function of the frame id (SMPL pose/meta) or fully
+# static (canonical volumes): re-uploading them every step cost ~25 ms in
+# patch mode (traced round 2) — the train loop caches their device copies
+FRAME_KEYS = ("A", "big_A", "pbw", "pbw_sizes", "pbounds", "R", "Th",
+              "part_pts", "part_pbw", "lengths2", "latent_index", "frame_dim")
+STATIC_KEYS = ("tbounds", "tuv", "tuv_sizes", "part_bounds")
+
 
 def device_batch(item: Dict[str, np.ndarray], reg_dist_weight: float,
-                 shardings=None) -> Dict[str, jnp.ndarray]:
+                 shardings=None, cache: Optional[Dict] = None,
+                 max_cached_frames: int = 16) -> Dict[str, jnp.ndarray]:
     item = dict(item)
     item["reg_dist_weight"] = np.float32(reg_dist_weight)
-    out = {k: item[k] for k in DEVICE_KEYS if k in item}
-    if shardings is not None:
-        return {k: pmesh.put_global(v, shardings[k]) for k, v in out.items()}
-    return {k: jnp.asarray(v) for k, v in out.items()}
+    frame = item.get("frame_index", None)
+
+    def put(k, v):
+        if shardings is not None:
+            return pmesh.put_global(v, shardings[k])
+        return jnp.asarray(v)
+
+    if cache is not None and frame is not None:
+        # LRU over frames: per-frame pbw volumes are multi-MB and a real
+        # dataset has ~100 frames — bound the device-resident set
+        lru = cache.setdefault("_frames", [])
+        f = int(frame)
+        if f in lru:
+            lru.remove(f)
+        lru.append(f)
+        if len(lru) > max_cached_frames:
+            evict = lru.pop(0)
+            for k in FRAME_KEYS:
+                cache.pop((k, evict), None)
+
+    out = {}
+    for k in DEVICE_KEYS:
+        if k not in item:
+            continue
+        v = item[k]
+        ck = None
+        if cache is not None:
+            if k in STATIC_KEYS:
+                ck = (k,)
+            elif k in FRAME_KEYS and frame is not None:
+                ck = (k, int(frame))
+        if ck is not None:
+            if ck not in cache:
+                cache[ck] = put(k, v)
+            out[k] = cache[ck]
+        else:
+            out[k] = put(k, v)
+    return out
 
 
 def make_patch_loss_fn(cfg):
@@ -129,6 +171,7 @@ def train(cfg: Config, resume: bool = True,
     rng_host = np.random.default_rng(0)
     steps_seen = 0  # post-resume step counter driving the profile window
     profiling = False
+    dev_cache: Dict = {}  # device copies of frame/static batch tensors
 
     datasets: Dict[float, TPoseDataset] = {}
 
@@ -161,7 +204,8 @@ def train(cfg: Config, resume: bool = True,
             if mesh is not None and shardings is None:
                 db = device_batch(item, ecfg.get("reg_dist_weight", 0.1))
                 shardings = pmesh.batch_shardings(mesh, db)
-            batch = device_batch(item, ecfg.get("reg_dist_weight", 0.1), shardings)
+            batch = device_batch(item, ecfg.get("reg_dist_weight", 0.1),
+                                 shardings, cache=dev_cache)
             data_time = time.time() - t_data
 
             if profile_window is not None and steps_seen == profile_window[0]:
