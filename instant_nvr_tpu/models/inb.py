@@ -144,6 +144,14 @@ def init_params(key: jax.Array, spec: ModelSpec) -> Dict[str, Any]:
     dh, nl = spec.occ_arch
     occ_list = [mlp_init(jax.random.fold_in(keys[1], i), E,
                          1 + spec.geo_feature_dim, dh, nl) for i in range(P)]
+    # NEGATIVE occupancy-logit bias: with 1-exp(-softplus(h)) a zero init
+    # puts occ ~0.5 EVERYWHERE, and unlike the reference (which supervises
+    # every threshold-passing sample) the fixed budgets can leave far
+    # points untrained — at occ 0.5 those render as phantom haze (measured
+    # -2.8 dB at eval, round 2).  Start near-transparent (occ ~0.05)
+    # so anything the budgets never supervise stays invisible.
+    for layers in occ_list:
+        layers[-1]["b"] = layers[-1]["b"].at[0].set(-3.0)
     occ = jax.tree.map(lambda *xs: jnp.stack(xs), *occ_list)
 
     # rgb heads grouped by arch
