@@ -131,7 +131,9 @@ def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
             img[hit] = _sphere_color(pts[hit] @ Rw.astype(np.float32))
             img = (img.reshape(H, W, 3) * 255).astype(np.uint8)
 
-            rel = f"images/Cam{v}/{f:04d}.jpg"
+            # lossless: JPEG ringing at the synthetic hard silhouette gave
+            # every view mutually-inconsistent rim supervision
+            rel = f"images/Cam{v}/{f:04d}.png"
             os.makedirs(os.path.dirname(os.path.join(root, rel)), exist_ok=True)
             cv2.imwrite(os.path.join(root, rel), img[..., ::-1])
             # schp mask: body label (5) everywhere on the sphere
