@@ -46,3 +46,59 @@ def test_chunked_handles_nonmultiple_ray_count():
     out = render_full_image(render_fn, params, batch_np, META_KEYS, chunk=64)
     assert out["rgb_map"].shape == (100, 3)
     assert np.isfinite(out["rgb_map"]).all()
+
+
+def test_chunked_eval_matches_direct_render_after_training():
+    """The chunked eval renderer (inflated budgets) must agree with the
+    direct train-path render on the same rays for a briefly-trained model —
+    guards the round-2 phantom-haze class of bug (untrained occ rendered
+    opaque only through the eval path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from instant_nvr_tpu.datasets import synthetic
+    from instant_nvr_tpu.eval.runner import make_chunked_renderer
+    from instant_nvr_tpu.models import inb
+    from instant_nvr_tpu.renderer.inb_renderer import RenderSpec, render_rays
+    from instant_nvr_tpu.train.state import TrainState
+    from instant_nvr_tpu.train.step import LossWeights, make_train_step
+    from test_model import tiny_spec
+
+    spec = tiny_spec()
+    scene = synthetic.make_scene(n_verts=400, grid=16)
+    view = synthetic.render_gt(scene, H=32, W=32)
+    batch_np = synthetic.make_batch(scene, view, n_rays=256)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    rspec = RenderSpec(n_samples=8, pair_budget=128)
+    opt = optax.adam(5e-3, eps=1e-15)
+    params = inb.init_params(jax.random.key(0), spec)
+    state = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+    step = jax.jit(make_train_step(spec, rspec, LossWeights(), opt))
+    for i in range(10):
+        state, _ = step(state, batch, jax.random.key(i))
+
+    # the runner inflates budgets; compare against a direct render with the
+    # SAME inflated spec (pipeline identity).  A barely-trained model is
+    # extremely budget-sensitive, so comparing against the training-budget
+    # render would conflate selection differences with pipeline bugs.
+    erspec = rspec._replace(perturb=False)
+    ispec = spec._replace(
+        cull_frac=max(spec.cull_frac, min(0.5, spec.cull_frac * 2.0)),
+        part_frac=max(spec.part_frac, min(0.75, spec.part_frac * 1.5)))
+    direct = render_rays(ispec, erspec, state.params, batch, train=False,
+                         rng=jax.random.key(0))["rgb_map"]
+
+    chunk = 128
+    render_fn = make_chunked_renderer(spec, erspec, chunk)
+    rays = {k: batch[k] for k in ("ray_o", "ray_d", "near", "far")}
+    meta = {k: v for k, v in batch.items()
+            if k not in ("ray_o", "ray_d", "near", "far", "rgb", "occupancy",
+                         "ray_mask")}
+    out = render_fn(state.params, rays, meta)["rgb_map"]
+    # per-chunk budgets select per 128 rays vs per 256 — small legitimate
+    # differences on an undertrained model, but no systematic divergence
+    diff = np.abs(np.asarray(out) - np.asarray(direct)).mean()
+    assert diff < 0.06, f"eval/train renderer divergence: mean |d| {diff:.4f}"
