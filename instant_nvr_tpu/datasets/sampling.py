@@ -42,6 +42,7 @@ def _bound_2d_mask(bounds, K, R, T, H, W) -> np.ndarray:
 
 
 def _weighted_pick(msk, bound_mask, n_body, n_face, n_rand, rng):
+    """numpy weighted pixel draw (also the fallback for native.sample_pixels)."""
     picks = []
     body = np.argwhere(msk == 1)
     if n_body and len(body):
@@ -54,6 +55,20 @@ def _weighted_pick(msk, bound_mask, n_body, n_face, n_rand, rng):
     if n_rand and len(box):
         picks.append(box[rng.integers(0, len(box), n_rand)])
     return np.concatenate(picks, axis=0)
+
+
+def weighted_pick(msk, bound_mask, n_body, n_face, n_rand, rng):
+    """Weighted pixel draw; native (GIL-free C++) when available.
+
+    Streams differ from the numpy path (mt19937 vs PCG64) but the
+    distribution is identical — the parity contract for sampling
+    (SURVEY.md §7.3 randomness parity).
+    """
+    if native.available():
+        seed = int(rng.integers(0, 2 ** 63 - 1))
+        return native.sample_pixels(msk, bound_mask, n_body, n_face, n_rand,
+                                    seed)
+    return _weighted_pick(msk, bound_mask, n_body, n_face, n_rand, rng)
 
 
 def _finalize(img, K, R, T, coords, bounds, nrays, rng, bound_mask):
@@ -256,8 +271,13 @@ def sample_patch(img, msk, K, R, T, bounds, patch_size: int,
     near, far, hit = get_near_far_np(bounds, ray_o, ray_d)
 
     n = patch_size * patch_size
+    # masked-out rays get a DEGENERATE [0, 0] interval: their 64 samples all
+    # land at the camera center, far from the body, so the SMPL-distance cull
+    # rejects them instead of spending budget slots on garbage-depth points
+    # along rays that miss the bbox (a [0, 1] default wasted most of the
+    # budget on sparse patches)
     near_full = np.zeros(n, np.float32)
-    far_full = np.ones(n, np.float32)
+    far_full = np.zeros(n, np.float32)
     near_full[hit] = near
     far_full[hit] = far
     ys, xs = np.meshgrid(np.arange(patch_size), np.arange(patch_size), indexing="ij")

@@ -86,8 +86,9 @@ def evaluate_dataset(cfg, mspec, rspec, params, split: str = "test",
     indices = list(sampler)
     if max_items:
         indices = indices[:max_items]
-    # multi-host: each process renders its own item shard (metrics.npy and
-    # the summary are per-process partials; rank 0's covers its shard)
+    # multi-host: each process renders its own item shard; metrics are
+    # allgathered before summarize so the summary covers the full split
+    n_total = len(indices)
     indices = shard_indices(indices, jax.process_index(), jax.process_count())
 
     chunk = cfg.render_chunk
@@ -107,4 +108,24 @@ def evaluate_dataset(cfg, mspec, rspec, params, split: str = "test",
                            frame_index=int(item["frame_index"]),
                            view_index=int(item["cam_ind"]),
                            sem_mask=item.get("sem_mask"), epoch=epoch)
+    if jax.process_count() > 1:
+        _allgather_metrics(evaluator, n_total)
+        if jax.process_index() != 0:
+            evaluator.result_dir = ""   # rank 0 writes the merged metrics.npy
     return evaluator.summarize(epoch=epoch)
+
+
+def _allgather_metrics(evaluator: Evaluator, n_total: int) -> None:
+    """Merge per-process metric shards so metrics.npy / the summary cover the
+    FULL split (reference analog: one process evaluates everything,
+    lib/evaluators/if_nerf.py:146-180; here each process rendered only its
+    item shard).  NaN-padded allgather: shards can be uneven."""
+    from jax.experimental import multihost_utils
+    cap = -(-n_total // jax.process_count())
+    for attr in ("mse", "psnr", "ssim", "lpips"):
+        xs = getattr(evaluator, attr)
+        a = np.full(cap, np.nan, np.float32)
+        a[:len(xs)] = np.asarray(xs, np.float32)
+        g = np.asarray(multihost_utils.process_allgather(a))
+        setattr(evaluator, attr, [float(v) for v in g.ravel()
+                                  if not np.isnan(v)])

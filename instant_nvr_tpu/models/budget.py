@@ -90,9 +90,26 @@ def apply_auto_budget(cfg, split: str = "train"):
     part points x levels x 8 corners x 128 lanes, and un-capped budgets on
     oversized subjects compile to >16 GB of HBM temps (measured: patch
     mode at cull 0.6 wanted 13.3 GB program + 3 GB params).
+
+    Probed budgets are PERSISTED to ``trained_model_dir/budgets.json`` on
+    first probe and loaded from there afterwards, so eval / vis / resume
+    always build the model spec with the budgets the checkpoint actually
+    trained at (a fresh probe can differ: prune_using_geo changes the ray
+    near/far distribution once latest.npy exists, shifting the survivor
+    histogram and hence the budgets — and budget changes force recompiles).
     """
     if not cfg.get("auto_budget", False):
         return cfg
+    import json
+    import os
+    path = os.path.join(cfg.trained_model_dir, "budgets.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            saved = json.load(f)
+        print(f"auto_budget: loaded persisted budgets from {path}")
+        return cfg.merged({"cull_budget": saved["cull_budget"],
+                           "part_budget": saved["part_budget"],
+                           "part_budget_scales": saved["part_budget_scales"]})
     from ..datasets.tpose_dataset import TPoseDataset
     ds = TPoseDataset(cfg, split)
     cull, part, scales = estimate_budgets(
@@ -111,5 +128,15 @@ def apply_auto_budget(cfg, split: str = "train"):
     print(f"auto_budget: cull {cfg.cull_budget} -> {cull:.3f}, part "
           f"{cfg.part_budget} -> {part:.3f}, scales "
           f"{tuple(round(s, 2) for s in scales)}")
+    try:
+        import jax
+        rank0 = jax.process_index() == 0
+    except Exception:
+        rank0 = True
+    if rank0:
+        os.makedirs(cfg.trained_model_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"cull_budget": cull, "part_budget": part,
+                       "part_budget_scales": list(scales)}, f)
     return cfg.merged({"cull_budget": cull, "part_budget": part,
                        "part_budget_scales": list(scales)})

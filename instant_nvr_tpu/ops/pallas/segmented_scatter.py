@@ -215,8 +215,8 @@ def segmented_scatter_add(keys: jnp.ndarray, payload: jnp.ndarray,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_macro,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((TILE_ROWS // rpl, LANES),
                                    lambda t, s: (t, 0),
                                    memory_space=pltpu.VMEM),

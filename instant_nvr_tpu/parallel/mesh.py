@@ -59,6 +59,11 @@ def put_global(v, sharding: NamedSharding):
         return jax.device_put(v, sharding)
     spec = sharding.spec
     if len(spec) and spec[0] is not None:
+        if v.shape[0] % jax.process_count():
+            raise ValueError(
+                f"ray axis ({v.shape[0]}) must divide process_count "
+                f"({jax.process_count()}); pad with pad_rays_to_multiple "
+                "before put_global")
         per = v.shape[0] // jax.process_count()
         lo = jax.process_index() * per
         local = v[lo:lo + per]

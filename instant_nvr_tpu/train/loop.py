@@ -132,6 +132,13 @@ def train(cfg: Config, resume: bool = True,
     unusable for a 3,000-step run (reference uses a windowed
     skip/wait/warmup/active torch.profiler schedule, train_net.py:26-46)."""
     from ..models.budget import apply_auto_budget
+    if not resume:
+        # fresh run: drop budgets persisted by a previous training (the
+        # reference's resume=False likewise wipes the model dir)
+        import os
+        bpath = os.path.join(cfg.trained_model_dir, "budgets.json")
+        if jax.process_index() == 0 and os.path.exists(bpath):
+            os.remove(bpath)
     cfg = apply_auto_budget(cfg)
     mspec = inb.build_model_spec(cfg)
     rspec = make_render_spec(cfg)

@@ -120,3 +120,45 @@ def test_init_scale_matches_joint_kaiming():
     expected_std = np.sqrt(2.0 / (spec.table_size * spec.n_features))
     got_std = float(jnp.std(params["hash"]))
     assert abs(got_std - expected_std) / expected_std < 0.05
+
+
+def test_packed_storage_matches_plain(monkeypatch):
+    """Packed big-table routing (_is_packed/_lane_select + packed backward
+    reshape) vs the plain path — the flagship's big tables take the packed
+    path on TPU but no CPU test covered it (advisor round-2 finding)."""
+    from instant_nvr_tpu.ops import hashgrid as hg
+
+    spec = make_hashgrid_spec(n_levels=4, n_features_per_level=16,
+                              log2_hashmap_size=10, base_resolution=2)
+    rng = np.random.default_rng(3)
+    xyz = jnp.array(rng.uniform(0, 1, (256, 3)), jnp.float32)
+    bounds = jnp.array([[0, 0, 0], [1, 1, 1]], jnp.float32)
+    cot = jnp.array(rng.normal(size=(256, spec.out_dim)), jnp.float32)
+
+    def encode_and_grad():
+        params = hashgrid_init(jax.random.key(7), spec)
+
+        def loss(p):
+            return jnp.sum(hashgrid_encode(spec, p, xyz, bounds) * cot)
+
+        out = hashgrid_encode(spec, params, xyz, bounds)
+        return params, out, jax.grad(loss)(params)
+
+    plain_params, plain_out, plain_grad = encode_and_grad()
+    assert plain_params["hash"].shape[1] == spec.n_features  # plain layout
+
+    # force the packed path (kernel-row threshold far below these tables);
+    # keep the TILE_ROWS pad small so the CPU test stays light
+    monkeypatch.setattr(hg, "KERNEL_MIN_ROWS", 64)
+    monkeypatch.setattr(hg, "TILE_ROWS", 128)
+    packed_params, packed_out, packed_grad = encode_and_grad()
+    assert packed_params["hash"].shape[1] == 128  # packed layout
+
+    np.testing.assert_allclose(np.asarray(packed_out), np.asarray(plain_out),
+                               rtol=1e-5, atol=1e-6)
+    for key in ("dense", "hash"):
+        rows = plain_grad[key].shape[0]
+        unpacked = np.asarray(packed_grad[key]).reshape(-1, spec.n_features)
+        np.testing.assert_allclose(unpacked[:rows], np.asarray(plain_grad[key]),
+                                   rtol=1e-5, atol=1e-6)
+        assert not np.any(unpacked[rows:])  # tile padding stays zero
