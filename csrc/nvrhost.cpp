@@ -125,50 +125,4 @@ int64_t sample_pixels(const uint8_t* msk, const uint8_t* bound_mask,
   return written;
 }
 
-// Mask edge band labeling: pixels within `border` of the mask boundary get
-// label 100 (erode/dilate difference, reference crop_mask_edge).
-void erode_edge(uint8_t* msk, int64_t H, int64_t W, int64_t border) {
-  const int64_t r = border / 2;
-  std::vector<uint8_t> er((size_t)(H * W)), di((size_t)(H * W));
-  // separable min/max via two passes (rows then cols)
-  std::vector<uint8_t> tmp((size_t)(H * W));
-  auto pass = [&](const uint8_t* src, uint8_t* dst, bool is_min, bool rows) {
-    for (int64_t a = 0; a < (rows ? H : W); ++a) {
-      for (int64_t b = 0; b < (rows ? W : H); ++b) {
-        uint8_t v = is_min ? 255 : 0;
-        for (int64_t d = -r; d <= (int64_t)(border - 1 - r); ++d) {
-          int64_t bb = b + d;
-          if (bb < 0 || bb >= (rows ? W : H)) { if (is_min) v = 0; continue; }
-          uint8_t s = rows ? src[a * W + bb] : src[bb * W + a];
-          v = is_min ? std::min(v, s) : std::max(v, s);
-        }
-        if (rows) dst[a * W + b] = v; else dst[b * W + a] = v;
-      }
-    }
-  };
-  pass(msk, tmp.data(), true, true);
-  pass(tmp.data(), er.data(), true, false);
-  pass(msk, tmp.data(), false, true);
-  pass(tmp.data(), di.data(), false, false);
-  for (int64_t i = 0; i < H * W; ++i)
-    if (di[i] - er[i] == 1) msk[i] = 100;
-}
-
-// Row-wise binary search (feature parity with the reference's vendored
-// torchsearchsorted CUDA/CPP kernel; the device path uses jnp.searchsorted).
-// a: B x A sorted rows, v: B x V queries, side: 0=left, 1=right.
-void searchsorted_f32(const float* a, const float* v, int64_t B, int64_t A,
-                      int64_t V, int side, int64_t* out) {
-  for (int64_t b = 0; b < B; ++b) {
-    const float* row = a + b * A;
-    for (int64_t i = 0; i < V; ++i) {
-      const float q = v[b * V + i];
-      const float* pos = side
-          ? std::upper_bound(row, row + A, q)
-          : std::lower_bound(row, row + A, q);
-      out[b * V + i] = (int64_t)(pos - row);
-    }
-  }
-}
-
 }  // extern "C"

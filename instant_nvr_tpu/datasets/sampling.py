@@ -82,7 +82,7 @@ def _finalize(img, K, R, T, coords, bounds, nrays, rng, bound_mask):
     for _round in range(8):
         o, d = native.ray_dirs(K, R, T, coords)
         rgb = img[coords[:, 0], coords[:, 1]]
-        near, far, hit = get_near_far_np(bounds, o, d)
+        near, far, hit = native.near_far(bounds, o, d)
         out_o.append(o[hit]); out_d.append(d[hit]); out_rgb.append(rgb[hit])
         out_near.append(near); out_far.append(far); out_coord.append(coords[hit])
         total += hit.sum()
@@ -140,7 +140,7 @@ def sample_rays_train(img, msk, K, R, T, bounds, nrays, body_ratio, face_ratio,
     n_body = int(nrays * body_ratio)
     n_face = int(nrays * face_ratio)
     n_rand = nrays - n_body - n_face
-    coords = _weighted_pick(msk, bound_mask, n_body, n_face, n_rand, rng)
+    coords = weighted_pick(msk, bound_mask, n_body, n_face, n_rand, rng)
     return _finalize(img, K, R, T, coords, bounds, nrays, rng, bound_mask)
 
 
@@ -175,7 +175,7 @@ def sample_rays_mse(img, msk, error_map, K, R, T, bounds, nrays, mse_portion,
         picks.append(err_coords[rng.integers(0, len(err_coords), n_err)])
     else:
         n_rand += n_err
-    picks.append(_weighted_pick(msk, bound_mask, n_body, n_face, n_rand, rng))
+    picks.append(weighted_pick(msk, bound_mask, n_body, n_face, n_rand, rng))
     coords = np.concatenate(picks, axis=0)
     return _finalize(img, K, R, T, coords, bounds, nrays, rng, bound_mask)
 
@@ -227,7 +227,12 @@ def sample_coord(img, msk, train_coord, K, R, T, bounds, nrays,
 
 
 def sample_rays_full(img, K, R, T, bounds) -> Dict[str, np.ndarray]:
-    """All pixels whose ray hits the bbox (eval; variable count, caller pads)."""
+    """All pixels whose ray hits the bbox (eval; variable count, caller pads).
+
+    Stays on the vectorized numpy near/far: at H*W (~1M) rays the SIMD
+    batch beats the native library's scalar loop; the native path wins on
+    the small per-step training draws (see _finalize).
+    """
     H, W = img.shape[:2]
     ray_o, ray_d = get_rays_np(H, W, K, R, T)
     ray_o = ray_o.reshape(-1, 3).astype(np.float32)
@@ -268,7 +273,7 @@ def sample_patch(img, msk, K, R, T, bounds, patch_size: int,
     ray_o, ray_d = get_rays_np(patch_size, patch_size, Kc, R, T)
     ray_o = ray_o.reshape(-1, 3).astype(np.float32)
     ray_d = ray_d.reshape(-1, 3).astype(np.float32)
-    near, far, hit = get_near_far_np(bounds, ray_o, ray_d)
+    near, far, hit = native.near_far(bounds, ray_o, ray_d)
 
     n = patch_size * patch_size
     # masked-out rays get a DEGENERATE [0, 0] interval: their 64 samples all

@@ -47,9 +47,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sample_pixels.restype = i64
     lib.sample_pixels.argtypes = [u8p, u8p, i64, i64, i64, i64, i64,
                                   ctypes.c_uint64, i64p]
-    lib.erode_edge.argtypes = [u8p, i64, i64, i64]
-    lib.searchsorted_f32.argtypes = [f32p, f32p, i64, i64, i64,
-                                     ctypes.c_int, i64p]
     _LIB = lib
     return lib
 
@@ -112,25 +109,7 @@ def sample_pixels(msk: np.ndarray, bound_mask: np.ndarray, n_body: int,
     return out[:n]
 
 
-def erode_edge(msk: np.ndarray, border: int) -> np.ndarray:
-    lib = _load()
-    if lib is None:
-        from ..datasets.tpose_dataset import erode_edge_mask
-        return erode_edge_mask(msk, border)
-    out = np.ascontiguousarray(msk, np.uint8).copy()
-    lib.erode_edge(out, msk.shape[0], msk.shape[1], border)
-    return out
-
-
-def searchsorted(a: np.ndarray, v: np.ndarray, side: str = "left") -> np.ndarray:
-    lib = _load()
-    if lib is None:
-        return np.stack([np.searchsorted(a[i], v[i], side=side)
-                         for i in range(len(a))])
-    B, A = a.shape
-    V = v.shape[1]
-    out = np.empty((B, V), np.int64)
-    lib.searchsorted_f32(np.ascontiguousarray(a, np.float32),
-                         np.ascontiguousarray(v, np.float32),
-                         B, A, V, 1 if side == "right" else 0, out)
-    return out
+# erode_edge and searchsorted C twins were removed (round 3): cv2's SIMD
+# morphology is exact and GIL-free (the C twin differed at image borders),
+# and the host never batch-searchsorts (ops/searchsorted.py's jnp kernel is
+# the torchsearchsorted equivalent on the device path).

@@ -49,21 +49,3 @@ def test_sample_pixels_classes():
     assert (vals == 1).all()
     vals = msk[coords[100:150, 0], coords[100:150, 1]]
     assert (vals == 13).all()
-
-
-def test_erode_edge_matches_cv2():
-    from instant_nvr_tpu.datasets.tpose_dataset import erode_edge_mask
-    msk = np.zeros((48, 48), np.uint8)
-    msk[10:40, 12:36] = 1
-    ours = native.erode_edge(msk, 5)
-    ref = erode_edge_mask(msk, 5)
-    assert (ours == ref).mean() > 0.98  # border-anchor conventions may differ by 1px
-
-
-def test_searchsorted_matches_numpy(rng):
-    a = np.sort(rng.normal(size=(4, 50)).astype(np.float32), axis=-1)
-    v = rng.normal(size=(4, 20)).astype(np.float32)
-    for side in ("left", "right"):
-        got = native.searchsorted(a, v, side)
-        want = np.stack([np.searchsorted(a[i], v[i], side=side) for i in range(4)])
-        np.testing.assert_array_equal(got, want)
