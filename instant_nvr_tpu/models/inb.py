@@ -27,12 +27,13 @@ import numpy as np
 
 from ..ops import lbs
 from ..ops.grid_sample import pts_sample_volume
-from ..ops.hashgrid import HashGridSpec, hashgrid_encode, hashgrid_init, make_hashgrid_spec
+from ..ops.hashgrid import (HashGridSpec, hashgrid_encode, hashgrid_init,
+                            make_hashgrid_spec, multi_hashgrid_encode)
 from ..ops.knn import knn_blend_weights_multiassign
 from ..ops.select import scatter_back, topk_select
 from .deformer import DeformerSpec, deformer_apply, deformer_init, make_deformer_spec
 from .embedders import freq_encode, freq_out_dim
-from .nn import kaiming_normal, mlp_apply, mlp_init
+from .nn import kaiming_normal, mlp_apply, mlp_apply_stacked, mlp_init
 
 
 def _round_budget(n: int, mult: int = 128) -> int:
@@ -186,14 +187,14 @@ def resd_fn(spec: ModelSpec, params, pts: jnp.ndarray, batch) -> jnp.ndarray:
                           compute_dtype=spec.cdtype)
 
 
-def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
-            batch: Dict[str, jnp.ndarray], train: bool) -> Dict[str, jnp.ndarray]:
-    """wpts/viewdir: (N, 3) flattened ray samples -> dict with raw (N, 4).
+def forward_parts(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
+                  batch: Dict[str, jnp.ndarray], train: bool) -> Dict[str, jnp.ndarray]:
+    """Reference implementation: statically-unrolled per-part pipeline.
 
-    ``batch`` carries the per-frame SMPL metadata (see datasets layer):
-    R (3,3), Th (1,3), A/big_A (24,4,4), pbw (X,Y,Z,25)+pbw_sizes+pbounds,
-    part_pts/part_pbw/lengths2, part_bounds (P,2,3), tuv+tuv_sizes+tbounds,
-    latent_index (int32 scalar), frame_dim (f32 scalar).
+    Numerically equivalent to :func:`forward` (which batches the five parts
+    into stacked/fused ops); kept as the oracle for the equivalence test
+    (tests/test_model.py::test_forward_matches_parts_reference) — the
+    per-part unroll costs ~25 ms/step in smal-op dispatch overhead on TPU.
     """
     N = wpts.shape[0]
     P = spec.num_parts
@@ -372,6 +373,201 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
             "tpts": jnp.concatenate(tpts_list, axis=0),    # (SKp, 3)
             "tocc": jnp.concatenate(tocc_list, axis=0),    # (SKp, 1)
             "tflag": jnp.concatenate(tflag_list, axis=0),  # (SKp,)
+            "cull_valid": cvalid,
+            "cull_overflow": (true_surv - sel_surv) / jnp.maximum(true_surv, 1),
+            "part_overflow": (flag_total - sel_total) / jnp.maximum(flag_total, 1),
+        })
+    return ret
+
+
+def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
+            batch: Dict[str, jnp.ndarray], train: bool) -> Dict[str, jnp.ndarray]:
+    """wpts/viewdir: (N, 3) flattened ray samples -> dict with raw (N, 4).
+
+    ``batch`` carries the per-frame SMPL metadata (see datasets layer):
+    R (3,3), Th (1,3), A/big_A (24,4,4), pbw (X,Y,Z,25)+pbw_sizes+pbounds,
+    part_pts/part_pbw/lengths2, part_bounds (P,2,3), tuv+tuv_sizes+tbounds,
+    latent_index (int32 scalar), frame_dim (f32 scalar).
+
+    The five part "experts" run as ONE batched pipeline (round 3): a single
+    batched top_k selects every part's budget at once, LBS runs on the
+    part-major concatenation (the bone transforms are shared — the per-part
+    LBS unroll was pure op-count waste), the hash encoding is the fused
+    multi-table path (ops/hashgrid.multi_hashgrid_encode), and the MLP heads
+    are stacked-expert einsums.  Numerically equivalent to
+    :func:`forward_parts` (tested); the reference executes the same model as
+    five serial python-loop iterations (TPoseHuman.forward:222-227).
+    """
+    N = wpts.shape[0]
+    P = spec.num_parts
+    cd = spec.cdtype
+
+    # bf16 table COMPUTE: gathers/grad-scatters move half the bytes; master
+    # params stay f32 (grads cast back to f32 before Adam)
+    if spec.grid_compute_dtype == "bfloat16":
+        gd = jnp.bfloat16
+        params = dict(params)
+        params["embed"] = jax.tree.map(lambda x: x.astype(gd), params["embed"])
+        dfm = dict(params["deformer"])
+        dfm["embed"] = jax.tree.map(lambda x: x.astype(gd), dfm["embed"])
+        params["deformer"] = dfm
+
+    # 1. world -> pose space (blend_utils.py:366-382)
+    pose_pts = lbs.world_points_to_pose_points(wpts, batch["R"], batch["Th"])
+    pose_dirs = lbs.world_dirs_to_pose_dirs(viewdir, batch["R"])
+
+    # 2. SMPL-distance cull (fixed-budget top-k; inb_part_network.py:133-140)
+    pnorm = pts_sample_volume(jax.lax.stop_gradient(pose_pts), batch["pbw"],
+                              batch["pbounds"], sizes=batch.get("pbw_sizes"))[:, -1]
+    K = _round_budget(spec.cull_frac * N)
+    K = min(K, _round_budget(N))
+    cidx, cvalid = topk_select(pnorm, K, spec.smpl_thresh)
+    cpts = pose_pts[cidx]                      # (K, 3)
+    cdirs = pose_dirs[cidx]
+
+    # 3. per-part KNN blend weights (blend_utils.py:817-825), no grad
+    backend = spec.knn_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    if backend == "pallas":
+        from ..ops.knn import knn_blend_weights_multiassign_pallas
+        knn = knn_blend_weights_multiassign_pallas(
+            jax.lax.stop_gradient(cpts), batch["part_pts"], batch["part_pbw"],
+            batch["lengths2"], K=spec.knn_k, radius=spec.knn_radius)
+    else:
+        knn = knn_blend_weights_multiassign(
+            jax.lax.stop_gradient(cpts), batch["part_pts"], batch["part_pbw"],
+            batch["lengths2"], K=spec.knn_k, radius=spec.knn_radius,
+            chunk=spec.knn_chunk)              # (K, P, 25)
+    pred_pbw = jax.lax.stop_gradient(knn[..., :24])
+    part_dist = jax.lax.stop_gradient(knn[..., 24])          # (K, P)
+    pflag = (part_dist < spec.smpl_thresh) & cvalid[:, None]  # (K, P)
+
+    # 4. ONE batched top_k over (P, K) picks Kmax best per part; part p's
+    #    budget Kp is the leading slice (top_k sorts ascending distance, so
+    #    [:Kp] IS the per-part top_k — exact, not approximate)
+    Kps = tuple(min(_round_budget(spec.part_frac * spec.part_budget_scales[p] * K), K)
+                for p in range(P))
+    Kmax = max(Kps)
+    offs = np.cumsum((0,) + Kps)
+    M = int(offs[-1])
+    pid = np.repeat(np.arange(P), Kps)         # (M,) host constant
+    score = jnp.where(pflag, part_dist, jnp.inf).T           # (P, K)
+    neg, idx_b = jax.lax.top_k(-score, Kmax)                 # (P, Kmax)
+    valid_b = (-neg) < spec.smpl_thresh
+    kp_arr = jnp.asarray(Kps, jnp.int32)
+    valid_pad = valid_b & (jnp.arange(Kmax, dtype=jnp.int32)[None, :] < kp_arr[:, None])
+
+    all_idx = jnp.concatenate([idx_b[p, :Kps[p]] for p in range(P)])   # (M,)
+    all_valid = jnp.concatenate([valid_b[p, :Kps[p]] for p in range(P)])
+    sel_pts = cpts[all_idx]
+    sel_dirs = cdirs[all_idx]
+    # blend weights for (point, its part): flat gather into (K*P, 24)
+    flat_bw = all_idx * P + jnp.asarray(pid, jnp.int32)
+    sel_bw = pred_pbw.reshape(K * P, lbs.NUM_BONES)[flat_bw]
+    # sanitize invalid slots: all-zero blend weights make A_bw singular
+    sel_bw = jnp.where(all_valid[:, None], sel_bw, 1.0 / lbs.NUM_BONES)
+
+    # 5. inverse LBS pose -> tpose -> bigpose ONCE on the concat (the bone
+    #    transforms are per-frame, not per-part; inb_part_network.py:98-102)
+    tmid = jnp.mean(batch["tbounds"], axis=0)
+    A1 = batch["A"][None]
+    bigA1 = batch["big_A"][None]
+    A_bw, R_inv = lbs.inverse_blend_params(sel_bw[None], A1)
+    big_A_bw = lbs.blend_transforms(sel_bw[None], bigA1)
+    init_tpose = lbs.pose_points_to_tpose_points(sel_pts[None], A_bw, R_inv)
+    init_bigpose = lbs.tpose_points_to_pose_points(init_tpose, big_A_bw)[0]
+    if spec.tpose_viewdir:
+        init_tdirs = lbs.pose_dirs_to_tpose_dirs(sel_dirs[None], R_inv)
+        all_dirs = lbs.tpose_dirs_to_pose_dirs(init_tdirs, big_A_bw)[0]
+    else:
+        all_dirs = sel_dirs
+    init_bigpose = jnp.where(all_valid[:, None], init_bigpose, tmid)
+
+    # 6. deformer residual on the concat (one gather/scatter set)
+    all_resd = deformer_apply(spec.deformer, params["deformer"], init_bigpose,
+                              batch["tuv"], batch["tbounds"],
+                              batch["frame_dim"], flag=all_valid,
+                              tuv_sizes=batch.get("tuv_sizes"),
+                              compute_dtype=cd)
+    tpose = init_bigpose + all_resd            # (M, 3)
+
+    # 7. fused multi-part hash encoding (one record stream for all tables)
+    emb = multi_hashgrid_encode(spec.part_embeds,
+                                [params["embed"][n] for n in spec.partnames],
+                                tpose, batch["part_bounds"], Kps)  # (M, E)
+
+    # 8. stacked-expert heads on the (P, Kmax) padded view
+    E = emb.shape[-1]
+    def pad_parts(x):
+        out = jnp.zeros((P, Kmax) + x.shape[1:], x.dtype)
+        for p in range(P):
+            out = jax.lax.dynamic_update_slice(
+                out, x[offs[p]:offs[p + 1]][None], (p, 0) + (0,) * (x.ndim - 1))
+        return out
+
+    emb_pad = pad_parts(emb)
+    hidden = mlp_apply_stacked(params["occ"], emb_pad, cd)   # (P, Kmax, 1+geo)
+    occ_v = 1.0 - jnp.exp(-jax.nn.softplus(hidden[..., :1]))
+    feature = hidden[..., 1:]
+
+    dir_pad = pad_parts(freq_encode(all_dirs, spec.viewdir_res))
+    latent = params["latent"][:, batch["latent_index"], :]   # (P, D)
+    latent = jnp.broadcast_to(latent[:, None, :], (P, Kmax, spec.latent_dim))
+    rgb_in = jnp.concatenate([emb_pad, dir_pad, feature, latent], axis=-1)
+
+    rgb_v = jnp.zeros((P, Kmax, 3), jnp.float32)
+    for (arch, ids) in spec.rgb_groups():
+        gkey = f"h{arch[0]}_l{arch[1]}"
+        sub = rgb_in[jnp.asarray(ids, jnp.int32)]
+        out = jax.nn.sigmoid(mlp_apply_stacked(params["rgb"][gkey], sub, cd))
+        rgb_v = rgb_v.at[jnp.asarray(ids, jnp.int32)].set(out.astype(jnp.float32))
+
+    raw_v = jnp.concatenate([rgb_v, occ_v.astype(jnp.float32)], axis=-1)  # (P, Kmax, 4)
+
+    # 9. ONE flat scatter back to the (K, P) per-part slots
+    flat_idx = jnp.where(valid_pad,
+                         idx_b * P + jnp.arange(P, dtype=jnp.int32)[:, None],
+                         K * P)
+    raws = jnp.zeros((K * P, 4), jnp.float32).at[flat_idx.reshape(-1)].set(
+        jnp.where(valid_pad[..., None], raw_v, 0.0).reshape(-1, 4),
+        mode="drop").reshape(K, P, 4)
+    occs = raws[..., 3:]                       # (K, P, 1)
+
+    # 10. aggregation across parts (TPoseHuman.forward:236-256)
+    if spec.aggr == "mean":
+        raw = jnp.mean(raws, axis=1)
+        occ = jnp.mean(occs, axis=1)
+    elif spec.aggr == "dist":
+        inv = 1.0 / (part_dist + 1e-5)
+        inv = inv / jnp.maximum(jnp.linalg.norm(inv, axis=-1, keepdims=True), 1e-12)
+        raw = jnp.sum(raws * inv[..., None], axis=1)
+        occ = jnp.sum(occs * inv[..., None], axis=1)
+    else:  # default: argmax-occupancy winner takes the color, max occ
+        win = jnp.argmax(occs[..., 0], axis=1)                 # (K,)
+        raw = jnp.take_along_axis(raws, win[:, None, None], axis=1)[:, 0]
+        occ = jnp.max(occs, axis=1)
+
+    # 11. scatter back to the full sample set (inb_part_network.py:154-161)
+    raw_full = scatter_back(jnp.zeros((N, 4), raw.dtype), cidx, raw, cvalid)
+    occ_full = scatter_back(jnp.zeros((N, 1), occ.dtype), cidx, occ, cvalid)
+
+    ret = {"raw": raw_full, "occ": occ_full}
+    if train:
+        true_surv = jnp.sum(pnorm < spec.smpl_thresh)
+        sel_surv = jnp.sum(cvalid)
+        flag_total = jnp.sum(pflag)
+        sel_total = jnp.sum(all_valid)
+        # flat (M, 1) occupancies for pair reg: constant-index gather from
+        # the padded (P, Kmax) view
+        tocc_idx = jnp.asarray(
+            np.concatenate([p * Kmax + np.arange(Kps[p]) for p in range(P)]),
+            jnp.int32)
+        ret.update({
+            "resd": all_resd,                  # (M, 3)
+            "tpts": init_bigpose,              # (M, 3)
+            "tocc": occ_v.reshape(P * Kmax, 1)[tocc_idx],  # (M, 1)
+            "tflag": all_valid,                # (M,)
             "cull_valid": cvalid,
             "cull_overflow": (true_surv - sel_surv) / jnp.maximum(true_surv, 1),
             "part_overflow": (flag_total - sel_total) / jnp.maximum(flag_total, 1),

@@ -53,6 +53,27 @@ def mlp_apply(layers: Sequence[dict], x: jnp.ndarray,
     return linear_apply(layers[-1], x, compute_dtype)
 
 
+def linear_apply_stacked(p: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Batched linear over a stacked expert axis: x (P, N, Din) with
+    w (P, Din, Dout) / b (P, Dout) -> (P, N, Dout).  One einsum replaces P
+    separate matmuls (the per-part unroll was op-count-bound on TPU)."""
+    w, b = p["w"], p["b"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.einsum("pnd,pdh->pnh", x, w,
+                   preferred_element_type=jnp.float32)
+    return y + b[:, None, :].astype(y.dtype)
+
+
+def mlp_apply_stacked(layers: Sequence[dict], x: jnp.ndarray,
+                      compute_dtype=None) -> jnp.ndarray:
+    """Stacked-expert mlp_apply: softplus between layers, linear output."""
+    for layer in layers[:-1]:
+        x = jax.nn.softplus(linear_apply_stacked(layer, x, compute_dtype))
+    return linear_apply_stacked(layers[-1], x, compute_dtype)
+
+
 def kaiming_normal(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
     """torch ``nn.init.kaiming_normal_`` (fan_in, leaky_relu gain sqrt(2))."""
     fan_in = 1

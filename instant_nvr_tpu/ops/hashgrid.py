@@ -310,3 +310,122 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
     if spec.include_input:
         val = jnp.concatenate([x01, val], axis=-1)
     return val
+
+
+# --------------------------------------------------------------------------
+# fused multi-part encoding
+# --------------------------------------------------------------------------
+
+def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
+                          pts: jnp.ndarray, bounds: jnp.ndarray,
+                          seg_sizes: Tuple[int, ...]) -> jnp.ndarray:
+    """Encode a part-major concatenation of points through P part grids.
+
+    Numerically equivalent to running :func:`hashgrid_encode` per part on
+    ``pts[off_p : off_p + seg_sizes[p]]`` with ``bounds[p]`` and
+    concatenating — but ALL index/weight math runs once on the (M, ...) axis
+    and the per-(level, point, corner) features from every table join one
+    flat record stream with a single feature-sum + corner-lerp reduce.  On
+    this TPU the per-part unroll was ~6 us/op x hundreds of small ops
+    (docs/PERF.md round 3); table storage stays per part (a unified table
+    would push every gather into the big-table ~11 ns/row latency regime —
+    small tables gather ~6x faster).
+
+    pts: (M, 3) with M == sum(seg_sizes); bounds: (P, 2, 3) dynamic.
+    Requires every spec to share n_levels / n_features / primes and the
+    part-grid mode (sum over features, include_input).  Returns (M, out_dim).
+
+    Reference being replaced: the serial per-part embedder loop,
+    lib/networks/bw_deform/inb_part_network_multiassign.py:222-227 +
+    part_base_embedder.py:114-159.
+    """
+    P = len(specs)
+    s0 = specs[0]
+    L, F = s0.n_levels, s0.n_features
+    assert all(s.n_levels == L and s.n_features == F and s.sum
+               and s.sum_over_features and s.include_input == s0.include_input
+               and s.primes == s0.primes for s in specs), \
+        "multi_hashgrid_encode requires uniform part-grid specs"
+    M = sum(seg_sizes)
+    assert pts.shape[0] == M
+    offs = np.cumsum([0] + list(seg_sizes))
+    pid = np.repeat(np.arange(P), seg_sizes)             # (M,) host constant
+
+    # per-point bounds (dynamic) via one gather; pid is compile-time constant
+    b = bounds[jnp.asarray(pid, jnp.int32)]              # (M, 2, 3)
+    x01 = (pts - b[:, 0]) / (b[:, 1] - b[:, 0])          # (M, 3)
+
+    # (L, M) per-point-per-level resolutions — a host-side constant
+    e_np = np.asarray([s.entries_num for s in specs], np.int32)[pid].T  # (L, M)
+    e_f = jnp.asarray(e_np, x01.dtype)
+    flt = x01[None, :, :] * (e_f - 1.0)[:, :, None]      # (L, M, 3)
+    base = flt.astype(jnp.int32)
+    corner = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
+                      axis=-1).reshape(8, 3)
+    corner = jnp.asarray(corner, jnp.int32)
+    idx = base[:, :, None, :] + corner[None, None, :, :]  # (L, M, 8, 3)
+    nmax = jnp.asarray(e_np)[:, :, None, None]
+    idx = jnp.clip(idx, 0, nmax - 1)
+    off = flt - idx[:, :, 0, :].astype(flt.dtype)
+    cf = corner.astype(flt.dtype)
+    w = (1.0 - cf)[None, None] + (2.0 * cf - 1.0)[None, None] * off[:, :, None, :]
+    w = w[..., 0] * w[..., 1] * w[..., 2]                # (L, M, 8)
+
+    # dense + hash candidate indices for EVERY (level, point, corner); each
+    # table then slices its (levels x points) window.  Flat 1-D gather
+    # indices (multi-dim index arrays hit the ~1000x slower TPU path).
+    n_lm = jnp.asarray(e_np)[:, :, None]                 # (L, M, 1)
+    ind_dense = idx[..., 0] * (n_lm * n_lm) + idx[..., 1] * n_lm + idx[..., 2]
+    p0, p1, p2 = (jnp.uint32(p) for p in s0.primes)
+    ih = idx.astype(jnp.uint32)
+    h_all = (ih[..., 0] * p0) ^ (ih[..., 1] * p1) ^ (ih[..., 2] * p2)
+
+    vals, weights, counts = [], [], []
+    for p in range(P):
+        s = specs[p]
+        Kp, o = seg_sizes[p], offs[p]
+        S, H = s.start_hash, s.n_hash_levels
+        if S > 0:
+            d = ind_dense[:S, o:o + Kp] + jnp.asarray(
+                s.dense_offsets, jnp.int32)[:, None, None]
+            vals.append(table_gather(params_list[p]["dense"], d.reshape(-1),
+                                     S, F, s.dense_offsets + (s.dense_total,)))
+            weights.append(w[:S, o:o + Kp])
+            counts.append(S * Kp)
+        if H > 0:
+            hh = (h_all[S:, o:o + Kp] % jnp.uint32(s.table_size)).astype(jnp.int32)
+            hh = hh + (jnp.arange(H, dtype=jnp.int32) * s.table_size)[:, None, None]
+            vals.append(table_gather(params_list[p]["hash"], hh.reshape(-1),
+                                     H, F,
+                                     tuple(l * s.table_size for l in range(H + 1))))
+            weights.append(w[S:, o:o + Kp])
+            counts.append(H * Kp)
+
+    v_cat = jnp.concatenate(vals, axis=0)                # (R_total, F)
+    # feature sum FIRST (sum_over_features): one reduce of the whole stream,
+    # f32 accumulation; then the corner lerp is a scalar product per record
+    vsum = jnp.sum(v_cat, axis=-1, dtype=jnp.float32)    # (R_total,)
+    w_cat = jnp.concatenate([wk.reshape(-1) for wk in weights], axis=0)
+    feat = jnp.sum((w_cat * vsum).reshape(-1, 8), axis=-1)  # (R_total/8,)
+
+    # (level, point) features -> (M, L): per part, dense+hash level blocks
+    outs = []
+    pos = 0
+    k = 0
+    for p in range(P):
+        s = specs[p]
+        Kp = seg_sizes[p]
+        blocks = []
+        for n_lev in ((s.start_hash, s.n_hash_levels) if s.start_hash > 0
+                      else (s.n_hash_levels,)):
+            if n_lev == 0:
+                continue
+            blocks.append(feat[pos:pos + n_lev * Kp].reshape(n_lev, Kp))
+            pos += n_lev * Kp
+            k += 1
+        part = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
+        outs.append(part.T)                              # (Kp, L)
+    val = jnp.concatenate(outs, axis=0).astype(x01.dtype)  # (M, L)
+    if s0.include_input:
+        val = jnp.concatenate([x01, val], axis=-1)
+    return val

@@ -162,3 +162,51 @@ def test_packed_storage_matches_plain(monkeypatch):
         np.testing.assert_allclose(unpacked[:rows], np.asarray(plain_grad[key]),
                                    rtol=1e-5, atol=1e-6)
         assert not np.any(unpacked[rows:])  # tile padding stays zero
+
+
+def test_multi_part_encode_matches_per_part():
+    """multi_hashgrid_encode == concat of per-part hashgrid_encode (values
+    and table/point gradients)."""
+    from instant_nvr_tpu.ops.hashgrid import multi_hashgrid_encode
+
+    specs = tuple(
+        make_hashgrid_spec(n_levels=6, n_features_per_level=4,
+                           log2_hashmap_size=h, base_resolution=r)
+        for (h, r) in ((10, 4), (10, 2), (8, 2), (6, 2), (6, 2)))
+    seg_sizes = (40, 24, 16, 8, 8)
+    rng = np.random.default_rng(11)
+    params = [hashgrid_init(jax.random.key(100 + i), s)
+              for i, s in enumerate(specs)]
+    pts = jnp.array(rng.uniform(-0.2, 1.2, (sum(seg_sizes), 3)), jnp.float32)
+    bounds = jnp.array([[[0, 0, 0], [1, 1, 1]],
+                        [[-1, -1, -1], [1, 1, 1]],
+                        [[0, 0, 0], [2, 2, 2]],
+                        [[-.5, 0, 0], [.5, 1, 1]],
+                        [[0, -.5, 0], [1, .5, 1]]], jnp.float32)
+    cot_key = jax.random.key(5)
+
+    def multi(params, pts):
+        return multi_hashgrid_encode(specs, params, pts, bounds, seg_sizes)
+
+    def per_part(params, pts):
+        outs = []
+        o = 0
+        for i, s in enumerate(specs):
+            outs.append(hashgrid_encode(s, params[i], pts[o:o + seg_sizes[i]],
+                                        bounds[i]))
+            o += seg_sizes[i]
+        return jnp.concatenate(outs, axis=0)
+
+    got = multi(params, pts)
+    want = per_part(params, pts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    cot = jax.random.normal(cot_key, got.shape)
+    g_multi = jax.grad(lambda p, x: jnp.sum(multi(p, x) * cot),
+                       argnums=(0, 1))(params, pts)
+    g_ref = jax.grad(lambda p, x: jnp.sum(per_part(p, x) * cot),
+                     argnums=(0, 1))(params, pts)
+    for a, b in zip(jax.tree.leaves(g_multi), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

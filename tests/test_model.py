@@ -194,3 +194,33 @@ def test_aggr_modes(scene, view):
         ret = render_rays(spec, RenderSpec(n_samples=8), params, batch,
                           train=False, rng=jax.random.key(0))
         assert np.isfinite(np.asarray(ret["rgb_map"])).all(), aggr
+
+
+def test_forward_matches_parts_reference(scene, view):
+    """The batched round-3 forward must match the per-part unrolled
+    reference implementation exactly (same selection, same math)."""
+    spec = tiny_spec()
+    params = inb.init_params(jax.random.key(0), spec)
+    batch = _to_device(synthetic.make_batch(scene, view, n_rays=64))
+    R, S = 64, 8
+    z = jnp.linspace(batch["near"], batch["far"], S, axis=-1)
+    wpts = (batch["ray_o"][:, None] + batch["ray_d"][:, None] * z[..., None]
+            ).reshape(-1, 3)
+    dirs = jnp.repeat(batch["ray_d"], S, axis=0)
+
+    got = inb.forward(spec, params, wpts, dirs, batch, train=True)
+    want = inb.forward_parts(spec, params, wpts, dirs, batch, train=True)
+    for k in ("raw", "occ", "resd", "tpts", "tocc", "tflag",
+              "cull_overflow", "part_overflow"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+
+    def loss(fwd, p):
+        r = fwd(spec, p, wpts, dirs, batch, train=True)
+        return jnp.sum(r["raw"] ** 2) + jnp.sum(r["resd"] ** 2)
+
+    g_new = jax.grad(lambda p: loss(inb.forward, p))(params)
+    g_old = jax.grad(lambda p: loss(inb.forward_parts, p))(params)
+    for a, b in zip(jax.tree.leaves(g_new), jax.tree.leaves(g_old)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
