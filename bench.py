@@ -19,13 +19,13 @@ def main():
 
     from __graft_entry__ import _flagship
     from instant_nvr_tpu.models import inb
-    from instant_nvr_tpu.train.state import TrainState, make_optimizer
+    from instant_nvr_tpu.train.state import create_train_state, make_optimizer
     from instant_nvr_tpu.train.step import make_train_step
 
     cfg, mspec, rspec, lw, batch, _ = _flagship(tiny=False)
     params = jax.jit(lambda k: inb.init_params(k, mspec))(jax.random.key(0))
     opt, _ = make_optimizer(cfg)
-    state = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+    state = jax.jit(lambda p: create_train_state(p, opt, mspec))(params)
     step = jax.jit(make_train_step(mspec, rspec, lw, opt), donate_argnums=(0,))
 
     n_rays = int(batch["ray_o"].shape[0])

@@ -64,6 +64,8 @@ class ModelSpec(NamedTuple):
     compute_dtype: str          # 'bfloat16' | 'float32' for MLP matmuls
     grid_compute_dtype: str     # table gather/grad-scatter dtype (master
                                 # params stay f32; Adam runs in f32)
+    select_mode: str = "partition"  # 'partition' (sort-free cumsum compaction)
+                                # | 'topk' (farthest-dropped-first overflow)
 
     @property
     def num_parts(self) -> int:
@@ -125,6 +127,7 @@ def build_model_spec(cfg) -> ModelSpec:
         tpose_viewdir=cfg.tpose_viewdir,
         compute_dtype=cfg.mlp_dtype,
         grid_compute_dtype=cfg.get("grid_compute_dtype", "bfloat16"),
+        select_mode=cfg.get("select_mode", "partition"),
     )
 
 
@@ -174,6 +177,46 @@ def param_count(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
 
 
+def grid_shadow(spec: ModelSpec, params):
+    """bf16 copies of the hash-table leaves (None when tables compute f32).
+
+    The train step refreshes this from the just-updated master params so the
+    convert fuses into the Adam sweep; forward then skips its own cast."""
+    if spec.grid_compute_dtype != "bfloat16":
+        return None
+    gd = jnp.bfloat16
+    return {"embed": jax.tree.map(lambda x: x.astype(gd), params["embed"]),
+            "deformer_embed": jax.tree.map(lambda x: x.astype(gd),
+                                           params["deformer"]["embed"])}
+
+
+def with_grid_shadow(params, shadow):
+    """Replace table leaves with their bf16 shadow (no-op when shadow=None)."""
+    if shadow is None:
+        return params
+    p = dict(params)
+    p["embed"] = shadow["embed"]
+    d = dict(p["deformer"])
+    d["embed"] = shadow["deformer_embed"]
+    p["deformer"] = d
+    return p
+
+
+def _cast_tables(spec: ModelSpec, params):
+    """In-forward bf16 table cast; skipped when a shadow already applied."""
+    if spec.grid_compute_dtype != "bfloat16":
+        return params
+    if jax.tree.leaves(params["embed"])[0].dtype == jnp.bfloat16:
+        return params
+    gd = jnp.bfloat16
+    params = dict(params)
+    params["embed"] = jax.tree.map(lambda x: x.astype(gd), params["embed"])
+    dfm = dict(params["deformer"])
+    dfm["embed"] = jax.tree.map(lambda x: x.astype(gd), dfm["embed"])
+    params["deformer"] = dfm
+    return params
+
+
 # --------------------------------------------------------------------------
 # forward
 # --------------------------------------------------------------------------
@@ -201,15 +244,9 @@ def forward_parts(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarr
     cd = spec.cdtype
 
     # bf16 table COMPUTE: gathers/grad-scatters move half the bytes (-25%
-    # gather, -34% scatter measured); master params stay f32 (the cast is a
-    # cheap full-table sweep, grads cast back to f32 before Adam)
-    if spec.grid_compute_dtype == "bfloat16":
-        gd = jnp.bfloat16
-        params = dict(params)
-        params["embed"] = jax.tree.map(lambda x: x.astype(gd), params["embed"])
-        dfm = dict(params["deformer"])
-        dfm["embed"] = jax.tree.map(lambda x: x.astype(gd), dfm["embed"])
-        params["deformer"] = dfm
+    # gather, -34% scatter measured); master params stay f32 (train passes a
+    # pre-cast shadow via with_grid_shadow, eval casts here)
+    params = _cast_tables(spec, params)
 
     # 1. world -> pose space (blend_utils.py:366-382)
     pose_pts = lbs.world_points_to_pose_points(wpts, batch["R"], batch["Th"])
@@ -402,15 +439,10 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     P = spec.num_parts
     cd = spec.cdtype
 
-    # bf16 table COMPUTE: gathers/grad-scatters move half the bytes; master
-    # params stay f32 (grads cast back to f32 before Adam)
-    if spec.grid_compute_dtype == "bfloat16":
-        gd = jnp.bfloat16
-        params = dict(params)
-        params["embed"] = jax.tree.map(lambda x: x.astype(gd), params["embed"])
-        dfm = dict(params["deformer"])
-        dfm["embed"] = jax.tree.map(lambda x: x.astype(gd), dfm["embed"])
-        params["deformer"] = dfm
+    # bf16 table COMPUTE: gathers/grad-scatters move half the bytes (-25%
+    # gather, -34% scatter measured); master params stay f32 (train passes a
+    # pre-cast shadow via with_grid_shadow, eval casts here)
+    params = _cast_tables(spec, params)
 
     # 1. world -> pose space (blend_utils.py:366-382)
     pose_pts = lbs.world_points_to_pose_points(wpts, batch["R"], batch["Th"])
@@ -421,7 +453,11 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
                               batch["pbounds"], sizes=batch.get("pbw_sizes"))[:, -1]
     K = _round_budget(spec.cull_frac * N)
     K = min(K, _round_budget(N))
-    cidx, cvalid = topk_select(pnorm, K, spec.smpl_thresh)
+    if spec.select_mode == "partition":
+        from ..ops.select import partition_select
+        cidx, cvalid = partition_select(pnorm, K, spec.smpl_thresh)
+    else:
+        cidx, cvalid = topk_select(pnorm, K, spec.smpl_thresh)
     cpts = pose_pts[cidx]                      # (K, 3)
     cdirs = pose_dirs[cidx]
 
@@ -443,20 +479,37 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     part_dist = jax.lax.stop_gradient(knn[..., 24])          # (K, P)
     pflag = (part_dist < spec.smpl_thresh) & cvalid[:, None]  # (K, P)
 
-    # 4. ONE batched top_k over (P, K) picks Kmax best per part; part p's
-    #    budget Kp is the leading slice (top_k sorts ascending distance, so
-    #    [:Kp] IS the per-part top_k — exact, not approximate)
+    # 4. batched per-part selection into the (P, Kmax) padded layout.
+    #    'partition': one cumsum compaction (sort-free).  'topk': ONE
+    #    batched top_k — part p's budget Kp is the leading slice ([:Kp] of a
+    #    Kmax top_k IS the per-part top_k — exact, not approximate).
     Kps = tuple(min(_round_budget(spec.part_frac * spec.part_budget_scales[p] * K), K)
                 for p in range(P))
     Kmax = max(Kps)
     offs = np.cumsum((0,) + Kps)
     M = int(offs[-1])
     pid = np.repeat(np.arange(P), Kps)         # (M,) host constant
-    score = jnp.where(pflag, part_dist, jnp.inf).T           # (P, K)
-    neg, idx_b = jax.lax.top_k(-score, Kmax)                 # (P, Kmax)
-    valid_b = (-neg) < spec.smpl_thresh
     kp_arr = jnp.asarray(Kps, jnp.int32)
-    valid_pad = valid_b & (jnp.arange(Kmax, dtype=jnp.int32)[None, :] < kp_arr[:, None])
+    if spec.select_mode == "partition":
+        from ..ops.select import _fixed_perm
+        perm = _fixed_perm(K)      # random drop order under overflow
+        valid_pk = pflag.T[:, perm]                          # (P, K)
+        pos = jnp.cumsum(valid_pk.astype(jnp.int32), axis=1) - 1
+        slot = jnp.where(valid_pk & (pos < kp_arr[:, None]), pos, Kmax)
+        flat_slot = slot + (jnp.arange(P, dtype=jnp.int32) * (Kmax + 1))[:, None]
+        idx_b = jnp.zeros((P * (Kmax + 1),), jnp.int32).at[
+            flat_slot.reshape(-1)].set(
+            jnp.broadcast_to(perm[None, :], (P, K)).reshape(-1),
+            mode="drop").reshape(P, Kmax + 1)[:, :Kmax]
+        count = jnp.minimum(pos[:, -1] + 1, kp_arr)
+        valid_pad = jnp.arange(Kmax, dtype=jnp.int32)[None, :] < count[:, None]
+        valid_b = valid_pad
+    else:
+        score = jnp.where(pflag, part_dist, jnp.inf).T       # (P, K)
+        neg, idx_b = jax.lax.top_k(-score, Kmax)             # (P, Kmax)
+        valid_b = (-neg) < spec.smpl_thresh
+        valid_pad = valid_b & (jnp.arange(Kmax, dtype=jnp.int32)[None, :]
+                               < kp_arr[:, None])
 
     all_idx = jnp.concatenate([idx_b[p, :Kps[p]] for p in range(P)])   # (M,)
     all_valid = jnp.concatenate([valid_b[p, :Kps[p]] for p in range(P)])

@@ -21,6 +21,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def topk_select(score: jnp.ndarray, budget: int, thresh: float
@@ -32,6 +33,36 @@ def topk_select(score: jnp.ndarray, budget: int, thresh: float
     """
     neg, idx = jax.lax.top_k(-score, budget)
     return idx, (-neg) < thresh
+
+
+def _fixed_perm(n: int) -> jnp.ndarray:
+    """Deterministic host-side permutation (compile-time constant)."""
+    return jnp.asarray(np.random.default_rng(0).permutation(n), jnp.int32)
+
+
+def partition_select(score: jnp.ndarray, budget: int, thresh: float
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort-free :func:`topk_select`: cumsum-compaction instead of the
+    bitonic sort ``lax.top_k`` lowers to (2.3 ms for 65k scores vs ~0.5 ms,
+    traced round 3).
+
+    Selects qualifying entries (``score < thresh``) in a FIXED random order,
+    so when the qualifying count exceeds the budget the dropped points are a
+    uniform random thinning — input-order compaction would drop whole
+    trailing regions (whole rays go unsupervised; measured as a training
+    stall on the overfit test), and topk's farthest-first needs the sort
+    this op exists to avoid.  Identical selected SET to topk_select whenever
+    the count fits the budget.
+    """
+    N = score.shape[0]
+    perm = _fixed_perm(N)
+    valid = (score < thresh)[perm]
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    slot = jnp.where(valid & (pos < budget), pos, budget)
+    idx = jnp.zeros((budget + 1,), jnp.int32).at[slot].set(perm,
+                                                           mode="drop")[:budget]
+    count = jnp.minimum(pos[-1] + 1, budget)
+    return idx, jnp.arange(budget, dtype=jnp.int32) < count
 
 
 def gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

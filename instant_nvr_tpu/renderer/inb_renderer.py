@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..models import inb
 from ..ops.ray import stratified_z_vals, z_to_points
 from ..ops.rendering import distortion_loss, volume_rendering
-from ..ops.select import topk_select
+from ..ops.select import partition_select, topk_select
 
 
 class RenderSpec(NamedTuple):
@@ -89,7 +89,9 @@ def render_rays(mspec: inb.ModelSpec, rspec: RenderSpec, params,
             tflag = net["tflag"]
             score = jnp.where(tflag, jnp.abs(tocc - 0.5), jnp.inf).reshape(-1)
             budget = min(rspec.pair_budget, score.shape[0])
-            idx, valid = topk_select(score, budget, rspec.pair_thresh)
+            sel = (partition_select if mspec.select_mode == "partition"
+                   else topk_select)
+            idx, valid = sel(score, budget, rspec.pair_thresh)
             tpts = net["tpts"].reshape(-1, 3)[idx]           # (B, 3)
             resd0 = net["resd"].reshape(-1, 3)[idx]
             noise = (jax.random.uniform(k_pair, tpts.shape, tpts.dtype) - 0.5) \

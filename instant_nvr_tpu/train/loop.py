@@ -149,7 +149,7 @@ def train(cfg: Config, resume: bool = True,
     # jit the init: eager init ops each compile separately (ruinous through
     # the remote-compile tunnel); one jitted program compiles once
     params = jax.jit(lambda k: inb.init_params(k, mspec))(jax.random.key(0))
-    state = create_train_state(params, opt)
+    state = create_train_state(params, opt, mspec)
     recorder = Recorder(cfg.record_dir, resume=resume,
                         enabled=jax.process_index() == 0)
 
@@ -157,7 +157,10 @@ def train(cfg: Config, resume: bool = True,
     if resume:
         restored, meta = load_checkpoint(cfg.trained_model_dir, state)
         if restored is not None:
-            state = restored
+            # rebuild the bf16 table shadow from the restored masters (the
+            # template's shadow is stale pre-restore data)
+            state = restored._replace(
+                grid_bf16=inb.grid_shadow(mspec, restored.params))
             begin_epoch = int(meta.get("epoch", 0)) + 1
             recorder.load_state_dict(meta)
             print(f"resumed from epoch {begin_epoch - 1}")

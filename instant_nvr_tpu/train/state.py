@@ -20,6 +20,12 @@ class TrainState(NamedTuple):
     step: jax.Array          # int32 scalar
     params: Any
     opt_state: Any
+    # bf16 shadow of the hash-table leaves, refreshed INSIDE the train step
+    # so XLA fuses the master->bf16 convert into the Adam update sweep (a
+    # standalone per-step cast of the ~1.1 GB of f32 tables cost ~3 ms,
+    # docs/PERF.md round 3).  None = cast in the forward (eval paths, or
+    # grid_compute_dtype float32).
+    grid_bf16: Any = None
 
 
 def make_lr_schedule(base_lr: float, gamma: float, decay_epochs: int,
@@ -71,7 +77,11 @@ def make_optimizer(cfg):
     return opt, schedule
 
 
-def create_train_state(params, opt) -> TrainState:
+def create_train_state(params, opt, mspec=None) -> TrainState:
     import jax.numpy as jnp
+    shadow = None
+    if mspec is not None:
+        from ..models import inb
+        shadow = inb.grid_shadow(mspec, params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=opt.init(params))
+                      opt_state=opt.init(params), grid_bf16=shadow)

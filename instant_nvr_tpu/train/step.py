@@ -215,9 +215,21 @@ def make_train_step(mspec: inb.ModelSpec, rspec: RenderSpec, lw: LossWeights,
             return compute_losses(mspec, rspec, lw, p, batch, rng,
                                   patch_loss_fn, step=state.step)
 
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # differentiate through the bf16 table shadow (when present): the
+        # table cotangents come out bf16 and are converted once for Adam —
+        # the same convert the in-forward cast's backward paid
+        p_eff = inb.with_grid_shadow(state.params, state.grid_bf16)
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(p_eff)
+        if state.grid_bf16 is not None:
+            grads = jax.tree.map(
+                lambda g: g.astype(jnp.float32)
+                if g.dtype == jnp.bfloat16 else g, grads)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(state.step + 1, params, opt_state), stats
+        # refresh the shadow from the new params: XLA fuses the bf16 convert
+        # into the Adam sweep (a standalone cast cost ~3 ms/step)
+        shadow = (inb.grid_shadow(mspec, params)
+                  if state.grid_bf16 is not None else None)
+        return TrainState(state.step + 1, params, opt_state, shadow), stats
 
     return train_step

@@ -199,7 +199,7 @@ def test_aggr_modes(scene, view):
 def test_forward_matches_parts_reference(scene, view):
     """The batched round-3 forward must match the per-part unrolled
     reference implementation exactly (same selection, same math)."""
-    spec = tiny_spec()
+    spec = tiny_spec(select_mode="topk")  # exact-match selection policy
     params = inb.init_params(jax.random.key(0), spec)
     batch = _to_device(synthetic.make_batch(scene, view, n_rays=64))
     R, S = 64, 8
@@ -224,3 +224,45 @@ def test_forward_matches_parts_reference(scene, view):
     for a, b in zip(jax.tree.leaves(g_new), jax.tree.leaves(g_old)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_partition_select_matches_topk_without_overflow(scene, view):
+    """At ample budgets the sort-free partition selection must produce the
+    same rendered outputs as top_k (same selected SET, different order)."""
+    kw = dict(cull_frac=1.0, part_frac=1.0,
+              part_budget_scales=(1.0,) * 5)
+    params = inb.init_params(jax.random.key(0), tiny_spec(**kw))
+    batch = _to_device(synthetic.make_batch(scene, view, n_rays=64))
+    z = jnp.linspace(batch["near"], batch["far"], 8, axis=-1)
+    wpts = (batch["ray_o"][:, None] + batch["ray_d"][:, None] * z[..., None]
+            ).reshape(-1, 3)
+    dirs = jnp.repeat(batch["ray_d"], 8, axis=0)
+
+    outs = {}
+    for mode in ("partition", "topk"):
+        spec = tiny_spec(select_mode=mode, **kw)
+        outs[mode] = inb.forward(spec, params, wpts, dirs, batch, train=True)
+    for k in ("raw", "occ"):
+        np.testing.assert_allclose(np.asarray(outs["partition"][k]),
+                                   np.asarray(outs["topk"][k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    # flat per-point extras are permutations of each other
+    for k in ("resd", "tocc"):
+        a = np.sort(np.asarray(outs["partition"][k]).ravel())
+        b = np.sort(np.asarray(outs["topk"][k]).ravel())
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6, err_msg=k)
+    assert int(np.asarray(outs["partition"]["tflag"]).sum()) == \
+        int(np.asarray(outs["topk"]["tflag"]).sum())
+
+
+def test_select_ops_agree():
+    from instant_nvr_tpu.ops.select import partition_select, topk_select
+    score = jnp.array(np.random.default_rng(0).uniform(0, 1, 257), jnp.float32)
+    for budget, thresh in ((64, 0.2), (256, 0.9), (128, 0.0)):
+        ti, tv = topk_select(score, budget, thresh)
+        pi, pv = partition_select(score, budget, thresh)
+        assert int(tv.sum()) == int(pv.sum())
+        a = set(np.asarray(ti)[np.asarray(tv)].tolist())
+        b = set(np.asarray(pi)[np.asarray(pv)].tolist())
+        if int(tv.sum()) < budget:   # no overflow: identical sets
+            assert a == b
