@@ -13,7 +13,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..models.lpips import lpips_distance
+from ..models.lpips import lpips_distance_jit
 from ..ops.ssim import ssim_skimage
 
 
@@ -59,10 +59,9 @@ class Evaluator:
             x, y, w, h = cv2.boundingRect(mb.astype(np.uint8))
             self.ssim.append(ssim_skimage(ip[y:y + h, x:x + w],
                                           ig[y:y + h, x:x + w]))
-            import jax.numpy as jnp
-            self.lpips.append(float(lpips_distance(
-                jnp.asarray(ip, jnp.float32), jnp.asarray(ig, jnp.float32),
-                self.lpips_weights)))
+            # full-canvas LPIPS (like the reference's test_full=False branch)
+            # so the jit cache sees ONE shape per split
+            self.lpips.append(lpips_distance_jit(ip, ig, self.lpips_weights))
             return
 
         img_pred = fill_image(rgb_pred, mask_at_box, H, W)
@@ -89,10 +88,8 @@ class Evaluator:
         self.mse.append(float(np.mean((img_pred - img_gt) ** 2)))
         self.psnr.append(psnr_metric(img_pred.reshape(-1, 3), img_gt.reshape(-1, 3)))
         self.ssim.append(ssim_skimage(img_pred, img_gt))
-        import jax.numpy as jnp
-        self.lpips.append(float(lpips_distance(
-            jnp.asarray(img_pred, jnp.float32), jnp.asarray(img_gt, jnp.float32),
-            self.lpips_weights)))
+        self.lpips.append(lpips_distance_jit(img_pred, img_gt,
+                                             self.lpips_weights))
 
     def summarize(self, epoch: int = -1) -> Dict[str, float]:
         if self.result_dir:

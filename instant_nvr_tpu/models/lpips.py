@@ -69,14 +69,16 @@ def vgg_load_npz(path: str, plan: Sequence[Tuple[int, int]],
 
     Conversion from torchvision state dicts is provided by
     ``tools/export_vgg_weights.py`` (requires torchvision, run elsewhere).
+    Returns numpy (NOT jax) arrays so the lru-cached params stay concrete
+    even when first requested inside a jit trace (same rule as vgg_init).
     """
     z = np.load(path)
     params = []
     for s, (c_out, n_convs) in enumerate(plan[:n_stages]):
         stage = []
         for i in range(n_convs):
-            w = jnp.asarray(z[f"w_{s}_{i}"])  # (kh, kw, Cin, Cout)
-            b = jnp.asarray(z[f"b_{s}_{i}"])
+            w = np.asarray(z[f"w_{s}_{i}"])  # (kh, kw, Cin, Cout)
+            b = np.asarray(z[f"b_{s}_{i}"])
             stage.append({"w": w, "b": b})
         params.append(stage)
     return params
@@ -138,6 +140,17 @@ def _eval_vgg_params(weights_path: str = ""):
     return vgg_init(4321, _VGG16_PLAN, 5)
 
 
+@functools.lru_cache(maxsize=2)
+def _eval_lin_weights(weights_path: str = ""):
+    if weights_path:
+        z = np.load(weights_path)
+        if "lin_0" in z:
+            # numpy, not jnp: lru-cached values must stay concrete when
+            # first requested inside a jit trace
+            return [np.asarray(z[f"lin_{s}"]) for s in range(5)]
+    return None
+
+
 def lpips_distance(img_pred: jnp.ndarray, img_gt: jnp.ndarray,
                    weights_path: str = "") -> jnp.ndarray:
     """(H,W,3) x2 in [0,1] -> scalar LPIPS-style distance.
@@ -149,11 +162,7 @@ def lpips_distance(img_pred: jnp.ndarray, img_gt: jnp.ndarray,
     under 'lin_<s>').
     """
     params = _eval_vgg_params(weights_path)
-    lin = None
-    if weights_path:
-        z = np.load(weights_path)
-        if "lin_0" in z:
-            lin = [jnp.asarray(z[f"lin_{s}"]) for s in range(5)]
+    lin = _eval_lin_weights(weights_path)
 
     def prep(im):
         im = im * 2.0 - 1.0
@@ -174,3 +183,21 @@ def lpips_distance(img_pred: jnp.ndarray, img_gt: jnp.ndarray,
         else:
             total = total + jnp.mean(jnp.sum(d2, axis=-1) / d2.shape[-1])
     return total
+
+
+@functools.lru_cache(maxsize=2)
+def _lpips_jitted(weights_path: str = ""):
+    return jax.jit(lambda a, b: lpips_distance(a, b, weights_path))
+
+
+def lpips_distance_jit(img_pred, img_gt, weights_path: str = "") -> float:
+    """Jit-cached :func:`lpips_distance` for the eval loop.
+
+    Eval images of one dataset share a constant (H, W) — both evaluator
+    branches reassemble onto the full canvas (``if_nerf.py:118-126`` does the
+    same) — so the whole VGG stack compiles ONCE per split instead of paying
+    ~16 eager per-op remote compiles per image (weak #5, round-2 verdict).
+    """
+    fn = _lpips_jitted(weights_path)
+    return float(fn(jnp.asarray(img_pred, jnp.float32),
+                    jnp.asarray(img_gt, jnp.float32)))

@@ -117,3 +117,16 @@ def test_perceptual_loss_matches_numpy_reference(tmp_path):
 
     got = float(perceptual_loss(a, b, weights_path=p))
     np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_lpips_jit_matches_eager(tmp_path):
+    """The evaluator's jit-cached path must equal the eager formula."""
+    from instant_nvr_tpu.models.lpips import lpips_distance_jit
+    p = str(tmp_path / "w16j.npz")
+    _write_fixture(p, _VGG16_PLAN, 5, lin=True, seed=13)
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    for wp in ("", p):
+        np.testing.assert_allclose(lpips_distance_jit(a, b, wp),
+                                   float(lpips_distance(a, b, wp)), rtol=1e-5)
