@@ -49,8 +49,16 @@ class IterationBasedSampler:
 
 
 def shard_indices(indices: List[int], process_index: int,
-                  process_count: int) -> List[int]:
-    """Contiguous per-process shard (multi-host data parallel)."""
+                  process_count: int, pad: bool = True) -> List[int]:
+    """Contiguous per-process shard (multi-host data parallel).
+
+    ``pad=True`` wraps the tail so every process gets the same count (like
+    torch's DistributedSampler — right for lockstep training).  Eval passes
+    ``pad=False``: uneven shards are fine there and wrap-padding would
+    double-count the wrapped items in the merged metrics.
+    """
     per = (len(indices) + process_count - 1) // process_count
-    padded = list(indices) + list(indices[: per * process_count - len(indices)])
-    return padded[process_index * per:(process_index + 1) * per]
+    if pad:
+        indices = list(indices) + \
+            list(indices[: per * process_count - len(indices)])
+    return indices[process_index * per:(process_index + 1) * per]

@@ -89,7 +89,8 @@ def evaluate_dataset(cfg, mspec, rspec, params, split: str = "test",
     # multi-host: each process renders its own item shard; metrics are
     # allgathered before summarize so the summary covers the full split
     n_total = len(indices)
-    indices = shard_indices(indices, jax.process_index(), jax.process_count())
+    indices = shard_indices(indices, jax.process_index(), jax.process_count(),
+                            pad=False)
 
     chunk = cfg.render_chunk
     render_fn = make_chunked_renderer(mspec, rspec, chunk)

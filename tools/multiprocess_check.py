@@ -1,0 +1,182 @@
+"""Real multi-process data-parallel execution check.
+
+The reference exercises its DDP path by actually launching N processes
+(``/root/reference/train_net.py:211-216``); until round 3 this repo's
+multi-process branches (``parallel/mesh.py put_global``, the eval metric
+allgather) had only run under a monkeypatched single process.  This script
+launches TWO real jax processes (``jax.distributed.initialize`` over a
+localhost coordinator, 4 virtual CPU devices each -> one 8-device global
+mesh) and drives the REAL training/eval helpers through them:
+
+  - ``shard_batch``/``put_global`` multi-process slicing + assembly
+  - one jitted ``make_train_step`` over the global mesh (grad all-reduce
+    across processes)
+  - ``eval.runner._allgather_metrics`` + rank-0 ``summarize`` writing ONE
+    metrics.npy covering both processes' item shards
+
+and asserts the 2-process loss matches a single-process 8-device run.
+
+Usage:  python tools/multiprocess_check.py            (orchestrator)
+        python tools/multiprocess_check.py worker I PORT TMPDIR
+        python tools/multiprocess_check.py single
+"""
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_RAYS = 256
+N_ITEMS = 5  # odd on purpose: uneven eval shards exercise the NaN padding
+
+
+def _spec():
+    from instant_nvr_tpu.models import inb
+    from instant_nvr_tpu.models.deformer import make_deformer_spec
+    from instant_nvr_tpu.ops.hashgrid import make_hashgrid_spec
+    primes = (1, 19349663, 83492791)
+    embed = make_hashgrid_spec(n_levels=4, n_features_per_level=4,
+                               log2_hashmap_size=10, base_resolution=4,
+                               b=1.38, primes=primes)
+    deformer = make_deformer_spec(dict(n_levels=4, n_features_per_level=2,
+                                       log2_hashmap_size=8, base_resolution=4,
+                                       b=1.38, sum=False), primes)
+    return inb.ModelSpec(
+        partnames=("body", "leg", "head", "larm", "rarm"),
+        part_embeds=(embed,) * 5,
+        rgb_archs=((32, 2), (32, 1), (32, 2), (32, 1), (32, 1)),
+        occ_arch=(32, 1), geo_feature_dim=8, latent_dim=8, num_latent=4,
+        viewdir_res=4, deformer=deformer, aggr="", smpl_thresh=0.10,
+        knn_k=4, knn_radius=0.075, knn_chunk=512, knn_backend="xla",
+        cull_frac=0.25, part_frac=0.5,
+        part_budget_scales=(1.0, 0.75, 0.5, 0.25, 0.25),
+        tpose_viewdir=True, compute_dtype="float32",
+        grid_compute_dtype="float32")
+
+
+def _run(mode: str, pid: int = 0, port: int = 0, tmpdir: str = "") -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if mode == "worker":
+        jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                                   process_id=pid)
+    import numpy as np
+    import optax
+
+    from instant_nvr_tpu.datasets import synthetic
+    from instant_nvr_tpu.models import inb
+    from instant_nvr_tpu.parallel import mesh as pmesh
+    from instant_nvr_tpu.renderer.inb_renderer import RenderSpec
+    from instant_nvr_tpu.train.state import create_train_state
+    from instant_nvr_tpu.train.step import LossWeights, make_train_step
+
+    print(f"PROCS {jax.process_count()} DEVICES {len(jax.devices())}",
+          flush=True)
+
+    spec = _spec()
+    scene = synthetic.make_scene(n_verts=400, grid=16)
+    view = synthetic.render_gt(scene, H=32, W=32)
+    batch_np = synthetic.make_batch(scene, view, n_rays=N_RAYS)
+
+    mesh = pmesh.make_mesh()
+    rep = pmesh.replicated(mesh)
+    batch = pmesh.shard_batch(mesh, batch_np)   # multi-proc branch for real
+
+    opt = optax.adam(1e-3, eps=1e-15)
+    params = inb.init_params(jax.random.key(0), spec)
+    state = create_train_state(params, opt, spec)
+    state = jax.tree.map(lambda x: pmesh.put_global(np.asarray(x), rep), state)
+    rng = pmesh.put_global(
+        np.asarray(jax.random.PRNGKey(42), np.uint32), rep)
+
+    rspec = RenderSpec(n_samples=8, pair_budget=128, use_pair_reg=False,
+                       use_reg_distortion=False)
+    step = jax.jit(make_train_step(spec, rspec, LossWeights(
+        use_pair=False, use_distortion=False), opt))
+    state, stats = step(state, batch, rng)
+    print(f"LOSS {float(stats['loss']):.8f}", flush=True)
+
+    if mode == "worker":
+        # eval metric aggregation across the two processes (uneven shards)
+        from instant_nvr_tpu.datasets.samplers import shard_indices
+        from instant_nvr_tpu.eval.evaluator import Evaluator
+        from instant_nvr_tpu.eval.runner import _allgather_metrics
+        mine = shard_indices(list(range(N_ITEMS)), jax.process_index(),
+                             jax.process_count(), pad=False)
+        ev = Evaluator(result_dir=tmpdir if jax.process_index() == 0 else "",
+                       save_images=False)
+        for i in mine:
+            ev.mse.append(float(i)); ev.psnr.append(10.0 + i)
+            ev.ssim.append(0.5); ev.lpips.append(0.1)
+        _allgather_metrics(ev, N_ITEMS)
+        if jax.process_index() == 0:
+            ev.summarize()
+            import numpy as _np
+            m = _np.load(os.path.join(tmpdir, "metrics.npy"),
+                         allow_pickle=True).item()
+            print(f"METRICS {len(m['psnr'])} "
+                  f"PSNRSUM {sum(m['psnr']):.1f}", flush=True)
+        jax.experimental.multihost_utils.sync_global_devices("done")
+
+
+def _orchestrate() -> int:
+    import tempfile
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    tmpdir = tempfile.mkdtemp(prefix="mpcheck_")
+
+    def env(n_dev):
+        e = dict(os.environ)
+        e["JAX_PLATFORMS"] = "cpu"
+        e["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n_dev} "
+                          + e.get("XLA_FLAGS", "")).strip()
+        return e
+
+    single = subprocess.Popen(
+        [sys.executable, __file__, "single"], env=env(8), cwd=REPO,
+        stdout=subprocess.PIPE, text=True)
+    workers = [subprocess.Popen(
+        [sys.executable, __file__, "worker", str(i), str(port), tmpdir],
+        env=env(4), cwd=REPO, stdout=subprocess.PIPE, text=True)
+        for i in range(2)]
+
+    outs = []
+    for p in [single] + workers:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        sys.stdout.write(out)
+        if p.returncode != 0:
+            print(f"FAIL rc={p.returncode}")
+            return 1
+
+    def grab(out, key):
+        for ln in out.splitlines():
+            if ln.startswith(key):
+                return ln.split()[1]
+        raise AssertionError(f"{key} missing in: {out!r}")
+
+    losses = [float(grab(o, "LOSS")) for o in outs]
+    assert grab(outs[1], "PROCS") == "2" and grab(outs[2], "PROCS") == "2", \
+        "workers did not form a 2-process job"
+    assert abs(losses[1] - losses[2]) < 1e-7, "worker losses disagree"
+    assert abs(losses[0] - losses[1]) < 2e-4 * max(1.0, abs(losses[0])), \
+        f"2-process loss {losses[1]} != single-process loss {losses[0]}"
+    n = int(grab(outs[1] if "METRICS" in outs[1] else outs[2], "METRICS"))
+    assert n == N_ITEMS, f"merged metrics cover {n}/{N_ITEMS} items"
+    print(f"OK 2-process loss={losses[1]:.8f} single={losses[0]:.8f} "
+          f"metrics={n}/{N_ITEMS}")
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] in ("worker", "single"):
+        sys.path.insert(0, REPO)
+        _run(sys.argv[1],
+             pid=int(sys.argv[2]) if len(sys.argv) > 2 else 0,
+             port=int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+             tmpdir=sys.argv[4] if len(sys.argv) > 4 else "")
+    else:
+        sys.exit(_orchestrate())
