@@ -11,7 +11,7 @@ import os
 
 import numpy as np
 
-from .synthetic import _fibonacci_sphere, _sphere_color
+from .synthetic import _fibonacci_sphere, _sphere_color, _textured_color
 from .tpose_dataset import schp_palette
 
 NUM_BONES = 24
@@ -19,7 +19,8 @@ NUM_BONES = 24
 
 def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
                        n_verts: int = 2000, H: int = 128, W: int = 128,
-                       radius: float = 0.3, seed: int = 0) -> dict:
+                       radius: float = 0.3, seed: int = 0,
+                       supersample: int = 4, texture: bool = True) -> dict:
     """Fabricate a miniature ZJU-layout dataset around an analytic sphere.
 
     n_verts must keep the vertex spacing well under ``smpl_thresh`` (0.05):
@@ -29,6 +30,13 @@ def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
     surviving samples that no part claims — black seams in every render.
     Real SMPL is 6,890 verts (~7 mm spacing); 2,000 on a 0.3 m sphere gives
     0.024 m spacing, comfortably under threshold.
+
+    ``supersample``: GT is rendered at supersample^2 rays/pixel and box-
+    filtered — the round-2 held-out ceiling was the 1-sample hard silhouette
+    (every view disagreed about the rim by up to a full pixel of color; a
+    volume renderer can never match inconsistent rims).  Masks threshold
+    the supersampled coverage at 0.5.  ``texture``: paint the body with
+    mid-frequency procedural texture instead of the flat normal-color.
     """
     import cv2
     rng = np.random.default_rng(seed)
@@ -117,7 +125,10 @@ def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
         for v in range(n_views):
             K, Rc, Tc = cams["K"][v], cams["R"][v], cams["T"][v] / 1000.0
             from ..ops.ray import get_rays_np
-            ro, rd = get_rays_np(H, W, K, Rc, Tc)
+            ss = max(1, int(supersample))
+            Khi = K.copy()
+            Khi[:2] *= ss            # fx, fy, cx, cy scale with resolution
+            ro, rd = get_rays_np(H * ss, W * ss, Khi, Rc, Tc)
             ro = ro.reshape(-1, 3) - Th  # sphere centered at Th in world
             rd = rd.reshape(-1, 3)
             b = np.sum(ro * rd, -1)
@@ -126,19 +137,24 @@ def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
             hit = disc > 0
             t_hit = -b - np.sqrt(np.maximum(disc, 0))
             pts = ro + rd * t_hit[:, None]
-            img = np.zeros((H * W, 3), np.float32)
+            img = np.zeros((H * ss * W * ss, 3), np.float32)
             # color is painted on the BODY: canonical (pose-space) position
-            img[hit] = _sphere_color(pts[hit] @ Rw.astype(np.float32))
-            img = (img.reshape(H, W, 3) * 255).astype(np.uint8)
+            color_fn = _textured_color if texture else _sphere_color
+            img[hit] = color_fn(pts[hit] @ Rw.astype(np.float32))
+            # box-filter down: anti-aliased rim (partial coverage composites
+            # over the black background exactly like the volume renderer)
+            img = img.reshape(H, ss, W, ss, 3).mean((1, 3))
+            cover = hit.reshape(H, ss, W, ss).mean((1, 3))
+            img = (img * 255).round().astype(np.uint8)
 
             # lossless: JPEG ringing at the synthetic hard silhouette gave
             # every view mutually-inconsistent rim supervision
             rel = f"images/Cam{v}/{f:04d}.png"
             os.makedirs(os.path.dirname(os.path.join(root, rel)), exist_ok=True)
             cv2.imwrite(os.path.join(root, rel), img[..., ::-1])
-            # schp mask: body label (5) everywhere on the sphere
+            # schp mask: body label (5) where pixel coverage exceeds half
             sem = np.zeros((H, W), np.uint8)
-            sem[hit.reshape(H, W)] = 5
+            sem[cover > 0.5] = 5
             sem_rgb = pal[sem]
             mrel = rel.replace("images", "schp")[:-4] + ".png"
             os.makedirs(os.path.dirname(os.path.join(root, mrel)), exist_ok=True)

@@ -38,6 +38,25 @@ def _sphere_color(pts: np.ndarray) -> np.ndarray:
     return (0.5 + 0.5 * n).astype(np.float32)
 
 
+def _textured_color(pts: np.ndarray) -> np.ndarray:
+    """Smooth color + mid-frequency procedural texture (canonical space).
+
+    The round-2 quality fixture was texture-free: held-out PSNR was rim-
+    dominated and interiors carried no reconstruction signal.  Bands in
+    spherical coordinates give the radiance field real structure to learn
+    while staying band-limited (well under the hash grid's top resolution,
+    so the ceiling is the pipeline, not the fixture).
+    """
+    n = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True), 1e-8)
+    base = 0.5 + 0.5 * n
+    u = np.arctan2(n[..., 1], n[..., 0])
+    v = np.arccos(np.clip(n[..., 2], -1, 1))
+    tex = 0.5 + 0.25 * np.sin(6.0 * u) * np.sin(8.0 * v) \
+        + 0.15 * np.cos(11.0 * v + 3.0 * u)
+    out = base * np.clip(tex, 0.15, 1.0)[..., None] + 0.1
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
 def make_scene(n_verts: int = 1200, radius: float = 0.3, grid: int = 32,
                seed: int = 0) -> Dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)

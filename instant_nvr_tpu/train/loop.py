@@ -149,7 +149,9 @@ def train(cfg: Config, resume: bool = True,
     # jit the init: eager init ops each compile separately (ruinous through
     # the remote-compile tunnel); one jitted program compiles once
     params = jax.jit(lambda k: inb.init_params(k, mspec))(jax.random.key(0))
-    state = create_train_state(params, opt, mspec)
+    # jit this too: eager opt.init + shadow casts are each a separate
+    # remote compile through the tunnel
+    state = jax.jit(lambda p: create_train_state(p, opt, mspec))(params)
     recorder = Recorder(cfg.record_dir, resume=resume,
                         enabled=jax.process_index() == 0)
 
