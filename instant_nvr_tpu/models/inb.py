@@ -64,8 +64,11 @@ class ModelSpec(NamedTuple):
     compute_dtype: str          # 'bfloat16' | 'float32' for MLP matmuls
     grid_compute_dtype: str     # table gather/grad-scatter dtype (master
                                 # params stay f32; Adam runs in f32)
-    select_mode: str = "partition"  # 'partition' (sort-free cumsum compaction)
-                                # | 'topk' (farthest-dropped-first overflow)
+    select_mode: str = "topk"   # 'topk' (farthest-dropped-first overflow)
+                                # | 'partition' (sort-free cumsum compaction
+                                # — measured SLOWER on the flagship: 78.3 vs
+                                # 75.4 ms/step, the scatter-compaction costs
+                                # more than the bitonic sort it avoids)
 
     @property
     def num_parts(self) -> int:
@@ -127,7 +130,7 @@ def build_model_spec(cfg) -> ModelSpec:
         tpose_viewdir=cfg.tpose_viewdir,
         compute_dtype=cfg.mlp_dtype,
         grid_compute_dtype=cfg.get("grid_compute_dtype", "bfloat16"),
-        select_mode=cfg.get("select_mode", "partition"),
+        select_mode=cfg.get("select_mode", "topk"),
     )
 
 

@@ -44,12 +44,21 @@ from .pallas.segmented_scatter import TILE_ROWS, segmented_scatter_add
 # scatter path get the sorted-segment Pallas backward; originally set at the
 # measured ~17 MB fast/slow cliff (278k rows x F16), lowered after round-2
 # traces showed the 200k-230k-row dense tables scattering at ~15 ns/row
-# (5.4 ms for 360k records) — the sort+kernel does those in ~2 ms
-KERNEL_MIN_ROWS = 190_000
+# (5.4 ms for 360k records) — the sort+kernel does those in ~2 ms.
+# None = read from ops.device_rates (probe/cache/defaults); set a number to
+# pin it (tests monkeypatch this)
+KERNEL_MIN_ROWS = None
+
+
+def _min_rows() -> int:
+    if KERNEL_MIN_ROWS is not None:
+        return KERNEL_MIN_ROWS
+    from .device_rates import get_rates
+    return get_rates().kernel_min_rows
 
 
 def _use_scatter_kernel(n_rows: int, dtype) -> bool:
-    return (n_rows >= KERNEL_MIN_ROWS and dtype == jnp.bfloat16
+    return (n_rows >= _min_rows() and dtype == jnp.bfloat16
             and jax.default_backend() not in ("cpu",))
 
 
@@ -60,7 +69,7 @@ def _is_packed(n_rows: int, F: int) -> bool:
     relayout; TPU row gathers are latency-bound per ROW so a 128-lane
     gather costs the same as a 16-lane one; and the kernel's accumulator
     and matmuls use full 128-lane tiles (a (N, 16) VMEM array pads 8x)."""
-    return n_rows >= KERNEL_MIN_ROWS and F < 128 and 128 % F == 0
+    return n_rows >= _min_rows() and F < 128 and 128 % F == 0
 
 
 def _lane_select(wide: jnp.ndarray, idx: jnp.ndarray, F: int) -> jnp.ndarray:

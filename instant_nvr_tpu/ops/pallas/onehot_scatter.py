@@ -38,8 +38,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 8192          # records per MXU contraction
-_EST_TFLOPS = 30e12   # measured mid-size matmul rate on this device
-_XLA_NS_PER_ROW = 7e-9
 _MAX_ACC_BYTES = 4 * 1024 * 1024   # f32 accumulator VMEM budget
 
 
@@ -68,8 +66,12 @@ def onehot_scatter_profitable(n_rows: int, F: int, R: int,
     r_l = R // n_levels
     n_chunks = n_levels * (-(-r_l // CHUNK))
     flops = n_chunks * p_pad * CHUNK * 128 * 2
-    t_kernel = flops / _EST_TFLOPS + 3e-4
-    return t_kernel < 0.7 * R * _XLA_NS_PER_ROW
+    # device rates from the probe/cache registry (round-2 hardcodes were
+    # this tunnel's measurements; see ops/device_rates.py)
+    from ..device_rates import get_rates
+    rates = get_rates()
+    t_kernel = flops / rates.matmul_tflops + 3e-4
+    return t_kernel < 0.7 * R * rates.xla_scatter_ns_per_row
 
 
 def _kernel(w0s_ref, keys_ref, payT_ref, out_ref, acc_ref, *, F: int,

@@ -43,8 +43,10 @@ def _fixed_perm(n: int) -> jnp.ndarray:
 def partition_select(score: jnp.ndarray, budget: int, thresh: float
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sort-free :func:`topk_select`: cumsum-compaction instead of the
-    bitonic sort ``lax.top_k`` lowers to (2.3 ms for 65k scores vs ~0.5 ms,
-    traced round 3).
+    bitonic sort ``lax.top_k`` lowers to.  NOTE measured end-to-end SLOWER
+    than topk on the flagship step (78.3 vs 75.4 ms, round 3): the scatter
+    that materializes the compaction outweighs the sort it avoids.  Kept as
+    ``select_mode: partition`` for future devices where sorts dominate.
 
     Selects qualifying entries (``score < thresh``) in a FIXED random order,
     so when the qualifying count exceeds the budget the dropped points are a

@@ -40,10 +40,17 @@ def test_matches_oracle(n_rows, F, offsets, r_l):
 
 
 def test_profitability_gate():
-    # deformer-hash shape: strongly profitable
-    assert onehot_scatter_profitable(12276, 2, 1_081_344, (0, 12276))
-    # big F=16 table with huge level windows: not profitable
-    assert not onehot_scatter_profitable(229_397, 16, 114_688,
-                                         (0, 100_000, 229_397))
-    # records not divisible by levels: rejected
-    assert not onehot_scatter_profitable(1000, 2, 999, (0, 500, 1000))
+    # pin the measured TPU rates: the gate reads the device-rate registry,
+    # which returns CPU defaults under the test platform
+    from instant_nvr_tpu.ops import device_rates as dr
+    dr.set_rates(dr._TPU_DEFAULT)
+    try:
+        # deformer-hash shape: strongly profitable
+        assert onehot_scatter_profitable(12276, 2, 1_081_344, (0, 12276))
+        # big F=16 table with huge level windows: not profitable
+        assert not onehot_scatter_profitable(229_397, 16, 114_688,
+                                             (0, 100_000, 229_397))
+        # records not divisible by levels: rejected
+        assert not onehot_scatter_profitable(1000, 2, 999, (0, 500, 1000))
+    finally:
+        dr.set_rates(None)
