@@ -134,10 +134,79 @@ def _table_gather_bwd(n_levels, F, level_offsets, res, g):
 table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)
 
 
-def pack_table(flat: jnp.ndarray) -> jnp.ndarray:
+# --------------------------------------------------------------------------
+# scalar tables (sum_over_features reparameterization)
+# --------------------------------------------------------------------------
+#
+# When a grid aggregates with ``sum & sum_over_features`` (the reference
+# default for every part grid, configs/inb/*.yaml), the network only ever
+# consumes the per-row FEATURE SUM: in the forward the F features of a row
+# enter as sum_f table[r, f], and in the backward every feature of a row
+# receives the IDENTICAL gradient.  Under Adam (zero-init moments) identical
+# gradients produce identical per-feature updates forever, so the (T, F)
+# table carries only T effective degrees of freedom — in the reference
+# (lib/networks/embedders/part_base_embedder.py:71-79 + feature-sum at
+# :159) just as here.  We therefore store ONE value per row: q[r] :=
+# mean_f table[r, f] and use F * q[r] in the forward.  Exactness: the
+# q-gradient is F x the per-feature gradient, and Adam's update direction
+# m_hat/(sqrt(v_hat)+eps) is invariant to uniform gradient scaling up to
+# eps (1e-15, negligible vs sqrt(v_hat); the sole deviation).  Init matches
+# by distribution: mean of F N(0, std^2) draws = N(0, std^2 / F).
+#
+# TPU payoff (the entire round-2/3 hot-op family shrinks):  table HBM 16x
+# (1.1 GB -> 70 MB); the Adam sweep (11 ms/step) 16x; backward sort payload
+# 8x (1 bf16 passenger vs 8 packed s32); the (R, 128) packed-row gather +
+# one-hot lane-select + its layout copies collapse into a flat scalar
+# gather; the forward feature-sum reduce disappears.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def scalar_table_gather(table: jnp.ndarray, idx: jnp.ndarray, n_levels: int,
+                        level_offsets: Tuple[int, ...] = None):
+    """1-D gather q[idx] with a kernel scatter-add backward.
+
+    table: (T_rows,) scalar-per-row grid; idx: (R,) int32 logical rows,
+    level-major with per-level ranges disjoint and ascending (see
+    :func:`table_gather`).
+    """
+    return table[idx]
+
+
+def _scalar_gather_fwd(table, idx, n_levels, level_offsets):
+    return table[idx], (table, idx)
+
+
+def _scalar_gather_bwd(n_levels, level_offsets, res, g):
+    (table, idx) = res
+    n_rows = table.shape[0]
+    on_accel = jax.default_backend() not in ("cpu",)
+    if (_use_scatter_kernel(n_rows, table.dtype)
+            and n_rows % TILE_ROWS == 0):
+        grad = segmented_scatter_add(idx, g.astype(jnp.bfloat16)[:, None],
+                                     n_rows, n_levels=n_levels,
+                                     packed_out=True).reshape(n_rows)
+    elif (on_accel and table.dtype == jnp.bfloat16
+          and level_offsets is not None
+          and onehot_scatter_profitable(n_rows, 1, idx.shape[0],
+                                        level_offsets)):
+        grad = onehot_scatter_add(idx, g.astype(jnp.bfloat16)[:, None],
+                                  n_rows, level_offsets).reshape(n_rows)
+    else:
+        grad = jnp.zeros((n_rows,), table.dtype).at[idx].add(g)
+    return grad.astype(table.dtype), None
+
+
+scalar_table_gather.defvjp(_scalar_gather_fwd, _scalar_gather_bwd)
+
+
+def pack_table(flat: jnp.ndarray, scalar: bool = False) -> jnp.ndarray:
     """Bring an externally-loaded (rows, F) table into storage layout
-    (tile-pad + pack when big) — e.g. for reference-checkpoint import."""
+    (tile-pad + pack when big; feature-mean reduce for scalar grids) —
+    e.g. for reference-checkpoint import."""
     rows, F = flat.shape
+    if scalar:
+        q = jnp.mean(flat, axis=-1)
+        return jnp.pad(q, (0, _pad_rows(rows, 1) - rows))
     flat = jnp.pad(flat, ((0, _pad_rows(rows, F) - rows), (0, 0)))
     if _is_packed(rows, F):
         return flat.reshape(-1, 128)
@@ -165,6 +234,9 @@ class HashGridSpec(NamedTuple):
     sum_over_features: bool
     include_input: bool
     primes: Tuple[int, int, int]
+    # store one value per row (the feature MEAN; forward uses F * q) — exact
+    # for sum & sum_over_features grids, see the scalar_table_gather note
+    scalar: bool = False
 
     @property
     def out_dim(self) -> int:
@@ -186,6 +258,7 @@ def make_hashgrid_spec(n_levels: int = 16, n_features_per_level: int = 16,
                        include_input: bool = True,
                        separate_dense: bool = True,
                        primes=(1, 19349663, 83492791),
+                       scalar_tables: bool = True,
                        **_unused) -> HashGridSpec:
     table_size = int(nextprime(2 ** log2_hashmap_size))
     entries_num = tuple(int(base_resolution * b ** i) for i in range(n_levels))
@@ -206,7 +279,8 @@ def make_hashgrid_spec(n_levels: int = 16, n_features_per_level: int = 16,
         table_size=table_size, entries_num=entries_num, start_hash=start_hash,
         dense_offsets=tuple(offsets), dense_total=total, sum=sum,
         sum_over_features=sum_over_features, include_input=include_input,
-        primes=tuple(int(p) for p in primes))
+        primes=tuple(int(p) for p in primes),
+        scalar=bool(scalar_tables and sum and sum_over_features))
 
 
 def hashgrid_init(key: jax.Array, spec: HashGridSpec,
@@ -218,6 +292,10 @@ def hashgrid_init(key: jax.Array, spec: HashGridSpec,
     concatenated: reshaping an (H, T, F) param at use-time forces a
     physical relayout copy of the whole table every step on TPU
     (T(8,128)-tiled layouts are not reshape-free).
+
+    ``spec.scalar`` grids store (rows,) scalars instead — the per-row
+    feature mean, init N(0, std^2 / F) = the distribution of the mean of F
+    kaiming draws (see the scalar_table_gather note).
     """
     std = math.sqrt(2.0 / (spec.table_size * spec.n_features))
     kd, kh = jax.random.split(key)
@@ -226,6 +304,9 @@ def hashgrid_init(key: jax.Array, spec: HashGridSpec,
     def make(k, rows):
         # rows beyond the logical size (scatter-kernel tile padding) are
         # never indexed; zero-init keeps them exactly zero under Adam
+        if spec.scalar:
+            q = (std / math.sqrt(F)) * jax.random.normal(k, (rows,), dtype=dtype)
+            return jnp.pad(q, (0, _pad_rows(rows, 1) - rows))
         t = std * jax.random.normal(k, (rows, F), dtype=dtype)
         t = jnp.pad(t, ((0, _pad_rows(rows, F) - rows), (0, 0)))
         if _is_packed(rows, F):
@@ -274,9 +355,14 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
     w = w[..., 0] * w[..., 1] * w[..., 2]  # (L, N, 8)
 
     def interp(table, ind, n_lev, level_offsets):
+        lo = 0 if table is params["dense"] else S
+        if spec.scalar:
+            # scalar grid: one value per row; forward contribution F * q
+            v = scalar_table_gather(table, ind.reshape(-1), n_lev,
+                                    level_offsets).reshape(n_lev, N, 8)
+            return jnp.sum(w[lo:lo + n_lev] * v, axis=-1) * F  # (n_lev, N)
         v = table_gather(table, ind.reshape(-1), n_lev, F,
                          level_offsets).reshape(n_lev, N, 8, F)
-        lo = 0 if table is params["dense"] else S
         # NOTE: lerp accumulates in f32 (w's dtype).  A bf16-lerp variant
         # (wc = w.astype(table.dtype)) was measured SLOWER (-7% step
         # throughput): the weight-array converts + bf16 VPU reduces cost
@@ -309,10 +395,12 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
                          * spec.table_size)[:, None, None]
         vals.append(interp(params["hash"], ind_h, H,
                            tuple(l * spec.table_size for l in range(H + 1))))
-    val = jnp.concatenate(vals, axis=0) if len(vals) > 1 else vals[0]  # (L, N, F)
+    val = jnp.concatenate(vals, axis=0) if len(vals) > 1 else vals[0]  # (L, N[, F])
 
-    val = jnp.swapaxes(val, 0, 1).astype(x01.dtype)  # (N, L, F)
-    if spec.sum:
+    val = jnp.swapaxes(val, 0, 1).astype(x01.dtype)  # (N, L[, F])
+    if spec.scalar:
+        pass                                   # already the (N, L) feature sums
+    elif spec.sum:
         val = jnp.sum(val, axis=-1) if spec.sum_over_features else jnp.sum(val, axis=-2)
     else:
         val = val.reshape(N, L * F)
@@ -353,7 +441,8 @@ def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
     L, F = s0.n_levels, s0.n_features
     assert all(s.n_levels == L and s.n_features == F and s.sum
                and s.sum_over_features and s.include_input == s0.include_input
-               and s.primes == s0.primes for s in specs), \
+               and s.primes == s0.primes and s.scalar == s0.scalar
+               for s in specs), \
         "multi_hashgrid_encode requires uniform part-grid specs"
     M = sum(seg_sizes)
     assert pts.shape[0] == M
@@ -389,6 +478,13 @@ def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
     ih = idx.astype(jnp.uint32)
     h_all = (ih[..., 0] * p0) ^ (ih[..., 1] * p1) ^ (ih[..., 2] * p2)
 
+    scalar = s0.scalar
+
+    def gather(table, ind, n_lev, level_offsets):
+        if scalar:
+            return scalar_table_gather(table, ind, n_lev, level_offsets)
+        return table_gather(table, ind, n_lev, F, level_offsets)
+
     vals, weights, counts = [], [], []
     for p in range(P):
         s = specs[p]
@@ -397,23 +493,25 @@ def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
         if S > 0:
             d = ind_dense[:S, o:o + Kp] + jnp.asarray(
                 s.dense_offsets, jnp.int32)[:, None, None]
-            vals.append(table_gather(params_list[p]["dense"], d.reshape(-1),
-                                     S, F, s.dense_offsets + (s.dense_total,)))
+            vals.append(gather(params_list[p]["dense"], d.reshape(-1),
+                               S, s.dense_offsets + (s.dense_total,)))
             weights.append(w[:S, o:o + Kp])
             counts.append(S * Kp)
         if H > 0:
             hh = (h_all[S:, o:o + Kp] % jnp.uint32(s.table_size)).astype(jnp.int32)
             hh = hh + (jnp.arange(H, dtype=jnp.int32) * s.table_size)[:, None, None]
-            vals.append(table_gather(params_list[p]["hash"], hh.reshape(-1),
-                                     H, F,
-                                     tuple(l * s.table_size for l in range(H + 1))))
+            vals.append(gather(params_list[p]["hash"], hh.reshape(-1), H,
+                               tuple(l * s.table_size for l in range(H + 1))))
             weights.append(w[S:, o:o + Kp])
             counts.append(H * Kp)
 
-    v_cat = jnp.concatenate(vals, axis=0)                # (R_total, F)
+    v_cat = jnp.concatenate(vals, axis=0)                # (R_total[, F])
     # feature sum FIRST (sum_over_features): one reduce of the whole stream,
-    # f32 accumulation; then the corner lerp is a scalar product per record
-    vsum = jnp.sum(v_cat, axis=-1, dtype=jnp.float32)    # (R_total,)
+    # f32 accumulation; scalar grids carry the sum directly as F * q
+    if scalar:
+        vsum = v_cat.astype(jnp.float32) * F             # (R_total,)
+    else:
+        vsum = jnp.sum(v_cat, axis=-1, dtype=jnp.float32)
     w_cat = jnp.concatenate([wk.reshape(-1) for wk in weights], axis=0)
     feat = jnp.sum((w_cat * vsum).reshape(-1, 8), axis=-1)  # (R_total/8,)
 

@@ -166,7 +166,10 @@ def segmented_scatter_add(keys: jnp.ndarray, payload: jnp.ndarray,
     per-level batched sort yields a globally sorted stream (each level's
     keys carry the level's table offset; per-level key ranges must be
     disjoint and ascending).  payload: (R, F) bf16 with F a power of two
-    <= 128.  T_pad must be a multiple of TILE_ROWS.
+    <= 128 — including F=1, the scalar-table mode (ops/hashgrid.py stores
+    sum-over-features grids as one value per row; the sort then moves a
+    single bf16 passenger instead of F/2 packed pairs, ~4x less sort
+    traffic).  T_pad must be a multiple of TILE_ROWS.
 
     With ``packed_out`` the gradient stays in the kernel's native packed
     layout (T_pad // (128//F), 128) — ``packed[p, F*c+f] == grad[rpl*p+c,
@@ -177,19 +180,27 @@ def segmented_scatter_add(keys: jnp.ndarray, payload: jnp.ndarray,
     R = keys.shape[0]
     F = payload.shape[1]
     assert T_pad % TILE_ROWS == 0, T_pad
-    assert R % n_levels == 0 and F % 2 == 0 and LANES % F == 0
+    assert R % n_levels == 0 and (F == 1 or F % 2 == 0) and LANES % F == 0
     rpl = LANES // F
 
-    # 1. per-level batched multisort (key + F/2 packed-bf16-pair operands)
-    packed = jax.lax.bitcast_convert_type(
-        payload.astype(jnp.bfloat16).reshape(R, F // 2, 2), jnp.int32)
+    # 1. per-level batched multisort.  F>=2: key + F/2 packed-bf16-pair
+    #    operands.  F==1: key + ONE bf16 passenger (sorted by key only, so
+    #    the payload dtype never affects the order).
     kl = keys.reshape(n_levels, R // n_levels)
-    pll = packed.reshape(n_levels, R // n_levels, F // 2)
-    ops = [kl] + [pll[..., i] for i in range(F // 2)]
-    out = jax.lax.sort(ops, dimension=1, num_keys=1)
-    sk = out[0].reshape(R)
-    spay = jax.lax.bitcast_convert_type(
-        jnp.stack(out[1:], axis=-1), jnp.bfloat16).reshape(R, F)
+    if F == 1:
+        pl1 = payload.astype(jnp.bfloat16).reshape(n_levels, R // n_levels)
+        sk, sp = jax.lax.sort([kl, pl1], dimension=1, num_keys=1)
+        sk = sk.reshape(R)
+        spay = sp.reshape(R, 1)
+    else:
+        packed = jax.lax.bitcast_convert_type(
+            payload.astype(jnp.bfloat16).reshape(R, F // 2, 2), jnp.int32)
+        pll = packed.reshape(n_levels, R // n_levels, F // 2)
+        ops = [kl] + [pll[..., i] for i in range(F // 2)]
+        out = jax.lax.sort(ops, dimension=1, num_keys=1)
+        sk = out[0].reshape(R)
+        spay = jax.lax.bitcast_convert_type(
+            jnp.stack(out[1:], axis=-1), jnp.bfloat16).reshape(R, F)
 
     # 2. lane-slot the payload: record r's features go to lane block
     #    (key % rpl) of a 128-lane row (same bytes as zero-padding to 128)

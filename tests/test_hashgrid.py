@@ -8,9 +8,16 @@ from instant_nvr_tpu.ops.hashgrid import (HashGridSpec, hashgrid_encode,
 
 
 def np_hashgrid_oracle(spec: HashGridSpec, params, xyz, bounds):
-    """Straightforward numpy reimplementation of the encoding contract."""
+    """Straightforward numpy reimplementation of the encoding contract.
+
+    Scalar grids store the per-row feature mean; semantically that is a
+    table whose F features all equal the mean (the feature sum — the only
+    thing a sum_over_features grid exposes — is then F * mean)."""
     dense = np.asarray(params["dense"])
     hsh = np.asarray(params["hash"])
+    if spec.scalar:
+        dense = np.repeat(dense[:, None], spec.n_features, axis=1)
+        hsh = np.repeat(hsh[:, None], spec.n_features, axis=1)
     x01 = (xyz - bounds[0]) / (bounds[1] - bounds[0])
     N = xyz.shape[0]
     L, F = spec.n_levels, spec.n_features
@@ -118,6 +125,9 @@ def test_init_scale_matches_joint_kaiming():
                               log2_hashmap_size=14, base_resolution=4)
     params = hashgrid_init(jax.random.key(0), spec)
     expected_std = np.sqrt(2.0 / (spec.table_size * spec.n_features))
+    if spec.scalar:
+        # scalar grids hold the per-row feature MEAN: std shrinks by sqrt(F)
+        expected_std /= np.sqrt(spec.n_features)
     got_std = float(jnp.std(params["hash"]))
     assert abs(got_std - expected_std) / expected_std < 0.05
 
@@ -129,7 +139,8 @@ def test_packed_storage_matches_plain(monkeypatch):
     from instant_nvr_tpu.ops import hashgrid as hg
 
     spec = make_hashgrid_spec(n_levels=4, n_features_per_level=16,
-                              log2_hashmap_size=10, base_resolution=2)
+                              log2_hashmap_size=10, base_resolution=2,
+                              scalar_tables=False)
     rng = np.random.default_rng(3)
     xyz = jnp.array(rng.uniform(0, 1, (256, 3)), jnp.float32)
     bounds = jnp.array([[0, 0, 0], [1, 1, 1]], jnp.float32)
@@ -162,6 +173,46 @@ def test_packed_storage_matches_plain(monkeypatch):
         np.testing.assert_allclose(unpacked[:rows], np.asarray(plain_grad[key]),
                                    rtol=1e-5, atol=1e-6)
         assert not np.any(unpacked[rows:])  # tile padding stays zero
+
+
+def test_scalar_padded_storage_matches_plain(monkeypatch):
+    """Scalar tables with kernel tile-padding (big-table storage on TPU) vs
+    the unpadded default: same encodings, same grads, padding slots zero."""
+    from instant_nvr_tpu.ops import hashgrid as hg
+
+    spec = make_hashgrid_spec(n_levels=4, n_features_per_level=16,
+                              log2_hashmap_size=10, base_resolution=2)
+    assert spec.scalar
+    rng = np.random.default_rng(5)
+    xyz = jnp.array(rng.uniform(0, 1, (256, 3)), jnp.float32)
+    bounds = jnp.array([[0, 0, 0], [1, 1, 1]], jnp.float32)
+    cot = jnp.array(rng.normal(size=(256, spec.out_dim)), jnp.float32)
+
+    def encode_and_grad():
+        params = hashgrid_init(jax.random.key(7), spec)
+
+        def loss(p):
+            return jnp.sum(hashgrid_encode(spec, p, xyz, bounds) * cot)
+
+        out = hashgrid_encode(spec, params, xyz, bounds)
+        return params, out, jax.grad(loss)(params)
+
+    p_plain, out_plain, g_plain = encode_and_grad()
+    assert p_plain["hash"].ndim == 1  # scalar storage
+
+    monkeypatch.setattr(hg, "KERNEL_MIN_ROWS", 64)
+    monkeypatch.setattr(hg, "TILE_ROWS", 128)
+    p_pad, out_pad, g_pad = encode_and_grad()
+    assert p_pad["hash"].shape[0] % 128 == 0  # tile-padded
+
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-6)
+    for key in ("dense", "hash"):
+        rows = g_plain[key].shape[0]
+        np.testing.assert_allclose(np.asarray(g_pad[key])[:rows],
+                                   np.asarray(g_plain[key]),
+                                   rtol=1e-5, atol=1e-6)
+        assert not np.any(np.asarray(g_pad[key])[rows:])  # padding stays zero
 
 
 def test_multi_part_encode_matches_per_part():

@@ -22,11 +22,12 @@ def _fake_reference_sd(spec, params):
     g = torch.Generator().manual_seed(0)
     for i, name in enumerate(spec.partnames):
         pre = f"tpose_human.part_networks.{i}."
-        e = params["embed"][name]
-        sd[pre + "embedder.dense"] = torch.randn(tuple(e["dense"].shape), generator=g)
-        H = spec.part_embeds[i].n_hash_levels
-        T = spec.part_embeds[i].table_size
-        F = spec.part_embeds[i].n_features
+        es = spec.part_embeds[i]
+        # reference tables have LOGICAL shapes (rows, F) / (H, T, F) — the
+        # importer tile-pads (and feature-means, for scalar grids) itself
+        sd[pre + "embedder.dense"] = torch.randn(
+            (es.dense_total, es.n_features), generator=g)
+        H, T, F = es.n_hash_levels, es.table_size, es.n_features
         sd[pre + "embedder.hash"] = torch.randn((max(H, 1), T, F), generator=g)
         for j, layer in enumerate(params["occ"]):
             w = layer["w"][i]
@@ -39,9 +40,9 @@ def _fake_reference_sd(spec, params):
             sd[pre + f"rgb.linears.{j}.weight"] = torch.randn((w.shape[1], w.shape[0]), generator=g)
             sd[pre + f"rgb.linears.{j}.bias"] = torch.randn((w.shape[1],), generator=g)
         sd[pre + "rgb_latent"] = torch.randn((spec.num_latent, spec.latent_dim), generator=g)
-    de = params["deformer"]["embed"]
     dspec = spec.deformer.embed
-    sd["tpose_deformer.embedder.dense"] = torch.randn(tuple(de["dense"].shape), generator=g)
+    sd["tpose_deformer.embedder.dense"] = torch.randn(
+        (dspec.dense_total, dspec.n_features), generator=g)
     sd["tpose_deformer.embedder.hash"] = torch.randn(
         (max(dspec.n_hash_levels, 1), dspec.table_size, dspec.n_features), generator=g)
     for j, li in enumerate([0, 2, 4]):
@@ -67,10 +68,15 @@ def test_convert_roundtrip():
     # latent mapping
     np.testing.assert_allclose(np.asarray(new["latent"][1]),
                                sd["tpose_human.part_networks.1.rgb_latent"].numpy())
-    # hash flattening
+    # hash flattening; scalar grids import the per-row feature mean
     h = sd["tpose_human.part_networks.0.embedder.hash"].numpy()
-    np.testing.assert_allclose(np.asarray(new["embed"]["body"]["hash"]),
-                               h.reshape(-1, h.shape[-1]))
+    flat = h.reshape(-1, h.shape[-1])
+    got = np.asarray(new["embed"]["body"]["hash"])
+    if spec.part_embeds[0].scalar:
+        np.testing.assert_allclose(got[:flat.shape[0]], flat.mean(-1),
+                                   rtol=1e-6)
+    else:
+        np.testing.assert_allclose(got[:flat.shape[0]], flat)
     # rgb group slots: part 3 (larm) is the 2nd member of the small group
     dh, nl = spec.rgb_archs[3]
     ids = [i for i, a in enumerate(spec.rgb_archs) if a == (dh, nl)]

@@ -18,6 +18,7 @@ def oracle(keys, payload, n_rows):
     (12276, 2, (0, 12276), 20000),               # non-CHUNK-multiple records
     (25186, 2, (0, 64, 189, 532, 1532, 3729, 9561, 25186), CHUNK),  # dense
     (28143, 16, (0, 8, 35, 28143), CHUNK // 2),  # F=16 windows
+    (25186, 1, (0, 64, 189, 532, 1532, 3729, 9561, 25186), CHUNK),  # scalar
 ])
 def test_matches_oracle(n_rows, F, offsets, r_l):
     rng = np.random.default_rng(0)

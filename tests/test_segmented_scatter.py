@@ -33,8 +33,10 @@ def _check(keys, payload, T_pad, n_levels=1):
 
 
 @pytest.mark.parametrize("n_levels", [1, 4])
-def test_uniform(rng, n_levels):
-    R, F = 4096 + 128, 16
+@pytest.mark.parametrize("F", [1, 16])
+def test_uniform(rng, n_levels, F):
+    # F=1 is the scalar-table mode (single bf16 sort passenger)
+    R = 4096 + 128
     T_pad = 2 * TILE_ROWS
     lo = np.arange(n_levels) * (T_pad // n_levels)
     keys = np.concatenate([
@@ -100,6 +102,7 @@ def test_padded_init_rows_never_read(rng):
     out = hashgrid.hashgrid_encode(spec, params, xyz, bounds)
     # grow the tables with poison rows: output must be identical
     poisoned = {k: jnp.concatenate(
-        [v, jnp.full((128, v.shape[1]), 1e9, v.dtype)]) for k, v in params.items()}
+        [v, jnp.full((128,) + v.shape[1:], 1e9, v.dtype)])
+        for k, v in params.items()}
     out2 = hashgrid.hashgrid_encode(spec, poisoned, xyz, bounds)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2))

@@ -55,13 +55,17 @@ def convert(state_dict, mspec, params):
 
     for i, name in enumerate(mspec.partnames):
         pre = f"tpose_human.part_networks.{i}."
-        # embedder tables
+        # embedder tables (scalar grids import as the per-row feature MEAN —
+        # exact for the sum_over_features aggregation, see ops/hashgrid.py)
+        sc = mspec.part_embeds[i].scalar
         emb = dict(params["embed"][name])
         if pre + "embedder.dense" in sd:
-            emb["dense"] = pack_table(jnp.asarray(t2n(sd[pre + "embedder.dense"])))
+            emb["dense"] = pack_table(
+                jnp.asarray(t2n(sd[pre + "embedder.dense"])), scalar=sc)
         if pre + "embedder.hash" in sd:
             h = t2n(sd[pre + "embedder.hash"])  # (H, T, F) -> flat (H*T, F)
-            emb["hash"] = pack_table(jnp.asarray(h.reshape(-1, h.shape[-1])))
+            emb["hash"] = pack_table(
+                jnp.asarray(h.reshape(-1, h.shape[-1])), scalar=sc)
         new["embed"][name] = emb
         # occ MLP
         for j in range(len(params["occ"])):
@@ -94,11 +98,14 @@ def convert(state_dict, mspec, params):
     # deformer
     dfm = dict(params["deformer"])
     demb = dict(dfm["embed"])
+    dsc = mspec.deformer.embed.scalar
     if "tpose_deformer.embedder.dense" in sd:
-        demb["dense"] = pack_table(jnp.asarray(t2n(sd["tpose_deformer.embedder.dense"])))
+        demb["dense"] = pack_table(
+            jnp.asarray(t2n(sd["tpose_deformer.embedder.dense"])), scalar=dsc)
     if "tpose_deformer.embedder.hash" in sd:
         h = t2n(sd["tpose_deformer.embedder.hash"])
-        demb["hash"] = pack_table(jnp.asarray(h.reshape(-1, h.shape[-1])))
+        demb["hash"] = pack_table(
+            jnp.asarray(h.reshape(-1, h.shape[-1])), scalar=dsc)
     dfm["embed"] = demb
     mlp = []
     for j, li in enumerate([0, 2, 4]):

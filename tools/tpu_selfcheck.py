@@ -61,6 +61,18 @@ def main():
     if serr > 0.05 * max(1.0, np.abs(ref).max()):
         failures.append("segmented_scatter_add wrong on this hardware")
 
+    # 1b-scalar. F=1 payload (the scalar-table mode: one bf16 passenger)
+    spay1 = rng.normal(size=(Lh * N8, 1)).astype(np.float32)
+    got1 = np.asarray(segmented_scatter_add(
+        jnp.asarray(sk), jnp.asarray(spay1, jnp.bfloat16), T_pad,
+        n_levels=Lh), np.float32)
+    ref1 = np.zeros((T_pad, 1), np.float32)
+    np.add.at(ref1, sk, spay1.astype(np.float32))
+    s1err = np.abs(got1 - ref1).max()
+    print(f"[1b-scalar] F=1 scatter-add max err vs numpy: {s1err:.4f}")
+    if s1err > 0.05 * max(1.0, np.abs(ref1).max()):
+        failures.append("segmented_scatter_add F=1 wrong on this hardware")
+
     # 1c. compiled one-hot small-table scatter == numpy oracle
     from instant_nvr_tpu.ops.pallas.onehot_scatter import onehot_scatter_add
     To, Ro = 12276, 1_081_344
