@@ -215,6 +215,56 @@ def test_scalar_padded_storage_matches_plain(monkeypatch):
         assert not np.any(np.asarray(g_pad[key])[rows:])  # padding stays zero
 
 
+def test_scalar_matches_full_table_adam_trajectory():
+    """The exactness claim behind scalar storage: a (T,) scalar grid seeded
+    with the feature means of a full (T, F) table reproduces the full
+    table's ENTIRE Adam training trajectory (sum_over_features forward), up
+    to Adam's eps.  Backward hands every feature of a row the identical
+    gradient, so per-feature updates stay identical; the scalar grid tracks
+    their common trajectory."""
+    import optax
+    from instant_nvr_tpu.ops.hashgrid import pack_table
+
+    kwargs = dict(n_levels=3, n_features_per_level=8, log2_hashmap_size=9,
+                  base_resolution=2, b=1.9)
+    spec_f = make_hashgrid_spec(scalar_tables=False, **kwargs)
+    spec_s = make_hashgrid_spec(scalar_tables=True, **kwargs)
+    assert not spec_f.scalar and spec_s.scalar and spec_f.out_dim == spec_s.out_dim
+
+    rng = np.random.default_rng(11)
+    xyz = jnp.array(rng.uniform(0, 1, (512, 3)), jnp.float32)
+    bounds = jnp.array([[0, 0, 0], [1, 1, 1]], jnp.float32)
+    target = jnp.array(rng.normal(size=(512, spec_f.out_dim)), jnp.float32)
+
+    p_f = hashgrid_init(jax.random.key(3), spec_f)
+    p_s = {k: pack_table(v, scalar=True) for k, v in p_f.items()}
+
+    opt = optax.adam(1e-2, eps=1e-15)
+
+    def run(spec, params, n=25):
+        ost = opt.init(params)
+
+        @jax.jit
+        def step(params, ost):
+            def loss(p):
+                return jnp.mean((hashgrid_encode(spec, p, xyz, bounds)
+                                 - target) ** 2)
+            l, g = jax.value_and_grad(loss)(params)
+            up, ost = opt.update(g, ost, params)
+            return optax.apply_updates(params, up), ost, l
+
+        for _ in range(n):
+            params, ost, l = step(params, ost)
+        return hashgrid_encode(spec, params, xyz, bounds), l
+
+    out_f, loss_f = run(spec_f, p_f)
+    out_s, loss_s = run(spec_s, p_s)
+    # trajectories agree to Adam-eps-level noise after 25 steps
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_f),
+                               rtol=2e-4, atol=2e-4)
+    assert abs(float(loss_f) - float(loss_s)) < 1e-5
+
+
 def test_multi_part_encode_matches_per_part():
     """multi_hashgrid_encode == concat of per-part hashgrid_encode (values
     and table/point gradients)."""
