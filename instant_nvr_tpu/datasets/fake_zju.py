@@ -128,6 +128,12 @@ def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
             ss = max(1, int(supersample))
             Khi = K.copy()
             Khi[:2] *= ss            # fx, fy, cx, cy scale with resolution
+            # integer-pixel ray convention (get_rays_np: arange, no +0.5):
+            # low-res pixel J box-filters high-res pixels ss*J..ss*J+ss-1,
+            # whose mean coordinate is ss*J + (ss-1)/2 — shift the high-res
+            # principal point so that mean lands exactly on ray J (otherwise
+            # every view's GT is warped 0.5*(ss-1)/ss px off its rays)
+            Khi[:2, 2] += (ss - 1) / 2.0
             ro, rd = get_rays_np(H * ss, W * ss, Khi, Rc, Tc)
             ro = ro.reshape(-1, 3) - Th  # sphere centered at Th in world
             rd = rd.reshape(-1, 3)

@@ -97,9 +97,17 @@ def build_model_spec(cfg) -> ModelSpec:
     part_embeds = []
     rgb_archs = []
     default_color = (cfg.network.color.d_hidden, cfg.network.color.n_layers)
+    # the scalar-grid reparameterization (ops/hashgrid.py) is exact for
+    # Adam's scale-invariant update with zero weight decay — the reference
+    # setup.  SGD would see an F x effective-lr shift and decayed weights
+    # act per-feature, so gate it on the optimizer config.
+    scalar_ok = (cfg.train.get("optim", "adam") == "adam"
+                 and not cfg.train.get("weight_decay", 0.0)
+                 and cfg.get("scalar_tables", True))
     for p in partnames:
         node = cfg.partnet[p]
         part_embeds.append(make_hashgrid_spec(primes=primes,
+                                              scalar_tables=scalar_ok,
                                               **node.embedder.kwargs.to_dict()))
         if "color_network" in node and "kwargs" in node.color_network:
             kw = node.color_network.kwargs

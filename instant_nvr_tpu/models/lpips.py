@@ -161,8 +161,15 @@ def lpips_distance(img_pred: jnp.ndarray, img_gt: jnp.ndarray,
     (uniform channel weights unless official linear weights are in the npz
     under 'lin_<s>').
     """
-    params = _eval_vgg_params(weights_path)
-    lin = _eval_lin_weights(weights_path)
+    return _lpips_from_params(_eval_vgg_params(weights_path),
+                              _eval_lin_weights(weights_path),
+                              img_pred, img_gt)
+
+
+def _lpips_from_params(params, lin, img_pred, img_gt) -> jnp.ndarray:
+    """LPIPS body with the VGG/linear weights as ARGUMENTS — never close
+    over them in a jit (they would bake in as ~59 MB of HLO constants and
+    remote compiles crawl; CLAUDE.md measurement rules)."""
 
     def prep(im):
         im = im * 2.0 - 1.0
@@ -185,9 +192,7 @@ def lpips_distance(img_pred: jnp.ndarray, img_gt: jnp.ndarray,
     return total
 
 
-@functools.lru_cache(maxsize=2)
-def _lpips_jitted(weights_path: str = ""):
-    return jax.jit(lambda a, b: lpips_distance(a, b, weights_path))
+_lpips_jit = jax.jit(_lpips_from_params)
 
 
 def lpips_distance_jit(img_pred, img_gt, weights_path: str = "") -> float:
@@ -197,7 +202,10 @@ def lpips_distance_jit(img_pred, img_gt, weights_path: str = "") -> float:
     branches reassemble onto the full canvas (``if_nerf.py:118-126`` does the
     same) — so the whole VGG stack compiles ONCE per split instead of paying
     ~16 eager per-op remote compiles per image (weak #5, round-2 verdict).
+    The weights travel as jit ARGUMENTS (device-resident after the first
+    call), not closed-over constants.
     """
-    fn = _lpips_jitted(weights_path)
-    return float(fn(jnp.asarray(img_pred, jnp.float32),
-                    jnp.asarray(img_gt, jnp.float32)))
+    return float(_lpips_jit(_eval_vgg_params(weights_path),
+                            _eval_lin_weights(weights_path),
+                            jnp.asarray(img_pred, jnp.float32),
+                            jnp.asarray(img_gt, jnp.float32)))

@@ -123,11 +123,16 @@ def get_rates() -> Rates:
         except (ValueError, TypeError, KeyError):
             pass
     try:
-        r = _probe()
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(r._asdict(), f)
-        _cached = r
+        _cached = _probe()
     except Exception:                        # probe failure -> safe defaults
         _cached = _TPU_DEFAULT
+        return _cached
+    try:  # cache-write failure must not discard a successful probe
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(_cached._asdict(), f)
+    except OSError:
+        pass
     return _cached

@@ -485,7 +485,7 @@ def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
             return scalar_table_gather(table, ind, n_lev, level_offsets)
         return table_gather(table, ind, n_lev, F, level_offsets)
 
-    vals, weights, counts = [], [], []
+    vals, weights = [], []
     for p in range(P):
         s = specs[p]
         Kp, o = seg_sizes[p], offs[p]
@@ -496,14 +496,12 @@ def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
             vals.append(gather(params_list[p]["dense"], d.reshape(-1),
                                S, s.dense_offsets + (s.dense_total,)))
             weights.append(w[:S, o:o + Kp])
-            counts.append(S * Kp)
         if H > 0:
             hh = (h_all[S:, o:o + Kp] % jnp.uint32(s.table_size)).astype(jnp.int32)
             hh = hh + (jnp.arange(H, dtype=jnp.int32) * s.table_size)[:, None, None]
             vals.append(gather(params_list[p]["hash"], hh.reshape(-1), H,
                                tuple(l * s.table_size for l in range(H + 1))))
             weights.append(w[S:, o:o + Kp])
-            counts.append(H * Kp)
 
     v_cat = jnp.concatenate(vals, axis=0)                # (R_total[, F])
     # feature sum FIRST (sum_over_features): one reduce of the whole stream,
@@ -518,7 +516,6 @@ def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
     # (level, point) features -> (M, L): per part, dense+hash level blocks
     outs = []
     pos = 0
-    k = 0
     for p in range(P):
         s = specs[p]
         Kp = seg_sizes[p]
@@ -529,7 +526,6 @@ def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
                 continue
             blocks.append(feat[pos:pos + n_lev * Kp].reshape(n_lev, Kp))
             pos += n_lev * Kp
-            k += 1
         part = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
         outs.append(part.T)                              # (Kp, L)
     val = jnp.concatenate(outs, axis=0).astype(x01.dtype)  # (M, L)

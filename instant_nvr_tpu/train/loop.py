@@ -160,9 +160,12 @@ def train(cfg: Config, resume: bool = True,
         restored, meta = load_checkpoint(cfg.trained_model_dir, state)
         if restored is not None:
             # rebuild the bf16 table shadow from the restored masters (the
-            # template's shadow is stale pre-restore data)
+            # template's shadow is stale pre-restore data); jitted — eager
+            # per-leaf casts each pay a remote compile, and resume is the
+            # tunnel-flap recovery path
             state = restored._replace(
-                grid_bf16=inb.grid_shadow(mspec, restored.params))
+                grid_bf16=jax.jit(lambda p: inb.grid_shadow(mspec, p))(
+                    restored.params))
             begin_epoch = int(meta.get("epoch", 0)) + 1
             recorder.load_state_dict(meta)
             print(f"resumed from epoch {begin_epoch - 1}")

@@ -23,10 +23,15 @@ for attempt in $(seq 1 12); do
   rc=$?
   echo "[$(date +%H:%M:%S)] train exit $rc" >> "$LOG"
   if [ $rc -eq 0 ]; then
-    echo "[$(date +%H:%M:%S)] evaluating" >> "$LOG"
-    timeout 3600 python run.py --type evaluate --cfg_file "$CFG" >> "$LOG" 2>&1
-    echo "[$(date +%H:%M:%S)] eval exit $? — done" >> "$LOG"
-    exit 0
+    for etry in 1 2 3; do
+      echo "[$(date +%H:%M:%S)] evaluating (try $etry)" >> "$LOG"
+      timeout 3600 python run.py --type evaluate --cfg_file "$CFG" >> "$LOG" 2>&1
+      erc=$?
+      echo "[$(date +%H:%M:%S)] eval exit $erc" >> "$LOG"
+      [ $erc -eq 0 ] && exit 0
+      sleep 60
+    done
+    exit 1
   fi
   sleep 30
 done

@@ -178,12 +178,24 @@ def test_bf16_grid_compute(scene, view):
     assert d.max() < 0.1 and d.mean() < 0.01
 
     opt = optax.adam(5e-3, eps=1e-15)
-    state = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+    # production path: create_train_state builds the bf16 grid SHADOW, so
+    # the step exercises with_grid_shadow + the bf16->f32 grad remap + the
+    # in-step shadow refresh (not just the legacy in-forward cast branch)
+    from instant_nvr_tpu.train.state import create_train_state
+    state = create_train_state(params, opt, spec16)
+    assert state.grid_bf16 is not None
     step = jax.jit(make_train_step(
         spec16, RenderSpec(n_samples=8, pair_budget=64), LossWeights(), opt))
     for i in range(5):
         state, stats = step(state, batch, jax.random.key(i))
         assert np.isfinite(float(stats["loss"]))
+    # the refreshed shadow must track the updated masters
+    for key in ("dense", "hash"):
+        got = np.asarray(state.grid_bf16["embed"]["body"][key], np.float32)
+        want = np.asarray(state.params["embed"]["body"][key],
+                          np.float32).astype(np.float32)
+        np.testing.assert_allclose(
+            got, np.asarray(jnp.asarray(want, jnp.bfloat16), np.float32))
 
 
 def test_aggr_modes(scene, view):

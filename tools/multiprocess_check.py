@@ -144,13 +144,21 @@ def _orchestrate() -> int:
         for i in range(2)]
 
     outs = []
-    for p in [single] + workers:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-        sys.stdout.write(out)
-        if p.returncode != 0:
-            print(f"FAIL rc={p.returncode}")
-            return 1
+    try:
+        for p in [single] + workers:
+            # inner timeout < the pytest-side 540 s so a hung worker is
+            # killed HERE (pytest killing only the orchestrator would
+            # orphan the jax.distributed children + their coordinator)
+            out, _ = p.communicate(timeout=450)
+            outs.append(out)
+            sys.stdout.write(out)
+            if p.returncode != 0:
+                print(f"FAIL rc={p.returncode}")
+                return 1
+    finally:
+        for p in [single] + workers:
+            if p.poll() is None:
+                p.kill()
 
     def grab(out, key):
         for ln in out.splitlines():
