@@ -235,6 +235,11 @@ def finalize(cfg: Config) -> Config:
     result_dir = os.path.join(cfg.get("result_dir", "exps"), cfg.get("task", "inb"),
                               cfg.get("exp_name", "default"))
     updates["result_dir"] = result_dir
-    updates["trained_model_dir"] = os.path.join(result_dir, "trained_model")
+    # honor an EXPLICIT trained_model_dir (e.g. a novel-pose eval config
+    # that loads another experiment's checkpoint but writes its own
+    # metrics); anything else — including the bare default — derives from
+    # result_dir as the reference does
+    if cfg.get("trained_model_dir", "") in ("", "data/trained_model"):
+        updates["trained_model_dir"] = os.path.join(result_dir, "trained_model")
     updates["record_dir"] = os.path.join(result_dir, "record")
     return cfg.replace(**updates)

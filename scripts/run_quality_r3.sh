@@ -28,7 +28,14 @@ for attempt in $(seq 1 12); do
       timeout 3600 python run.py --type evaluate --cfg_file "$CFG" >> "$LOG" 2>&1
       erc=$?
       echo "[$(date +%H:%M:%S)] eval exit $erc" >> "$LOG"
-      [ $erc -eq 0 ] && exit 0
+      if [ $erc -eq 0 ]; then
+        # novel-pose protocol on the same checkpoint (frames 4-5 untrained)
+        echo "[$(date +%H:%M:%S)] novel-pose eval" >> "$LOG"
+        timeout 3600 python run.py --type evaluate \
+          --cfg_file configs/inb/inb_fake_mv_np.yaml >> "$LOG" 2>&1
+        echo "[$(date +%H:%M:%S)] novel-pose eval exit $?" >> "$LOG"
+        exit 0
+      fi
       sleep 60
     done
     exit 1
