@@ -213,14 +213,22 @@ def train(cfg: Config, resume: bool = True,
                                 rng=rng_host)
             return item
 
-        pf = Prefetcher(produce, indices, depth=8)
-        t_data = time.time()
-        for it, item in enumerate(pf):
+        def stage(item, _ecfg=ecfg):
+            # double-buffered device staging (docs/PERF.md backlog #3): the
+            # prefetch worker issues the H2D puts for batch N+1..N+depth
+            # while the main thread's step N runs, so per-step upload
+            # latency (remote tunnel!) is hidden instead of serialized.
+            # Single worker thread => dev_cache needs no locking.
+            nonlocal shardings
+            rdw = _ecfg.get("reg_dist_weight", 0.1)
             if mesh is not None and shardings is None:
-                db = device_batch(item, ecfg.get("reg_dist_weight", 0.1))
+                db = device_batch(item, rdw)
                 shardings = pmesh.batch_shardings(mesh, db)
-            batch = device_batch(item, ecfg.get("reg_dist_weight", 0.1),
-                                 shardings, cache=dev_cache)
+            return item, device_batch(item, rdw, shardings, cache=dev_cache)
+
+        pf = Prefetcher(produce, indices, depth=8, device_put=stage)
+        t_data = time.time()
+        for it, (item, batch) in enumerate(pf):
             data_time = time.time() - t_data
 
             if profile_window is not None and steps_seen == profile_window[0]:
