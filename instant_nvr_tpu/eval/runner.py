@@ -120,13 +120,18 @@ def _allgather_metrics(evaluator: Evaluator, n_total: int) -> None:
     """Merge per-process metric shards so metrics.npy / the summary cover the
     FULL split (reference analog: one process evaluates everything,
     lib/evaluators/if_nerf.py:146-180; here each process rendered only its
-    item shard).  NaN-padded allgather: shards can be uneven."""
+    item shard).  Shards can be uneven, so each process also gathers its
+    count and padding is dropped by COUNT, not by value — a genuine NaN
+    metric (e.g. zero-variance SSIM crop) must survive the merge exactly
+    as it would single-process."""
     from jax.experimental import multihost_utils
     cap = -(-n_total // jax.process_count())
     for attr in ("mse", "psnr", "ssim", "lpips"):
         xs = getattr(evaluator, attr)
-        a = np.full(cap, np.nan, np.float32)
-        a[:len(xs)] = np.asarray(xs, np.float32)
+        a = np.zeros(cap + 1, np.float32)
+        a[0] = len(xs)
+        a[1:1 + len(xs)] = np.asarray(xs, np.float32)
         g = np.asarray(multihost_utils.process_allgather(a))
-        setattr(evaluator, attr, [float(v) for v in g.ravel()
-                                  if not np.isnan(v)])
+        g = g.reshape(jax.process_count(), cap + 1)
+        merged = [float(v) for row in g for v in row[1:1 + int(row[0])]]
+        setattr(evaluator, attr, merged)

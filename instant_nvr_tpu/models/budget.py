@@ -82,7 +82,7 @@ def estimate_budgets(cfg, dataset, n_probe: int = 4,
     return cull, part_frac, scales
 
 
-def apply_auto_budget(cfg, split: str = "train"):
+def apply_auto_budget(cfg, split: str = "train", _local: bool = False):
     """Returns cfg with measured budgets when ``cfg.auto_budget`` is set.
 
     Budgets are clamped so the total per-part point count stays under
@@ -102,6 +102,28 @@ def apply_auto_budget(cfg, split: str = "train"):
         return cfg
     import json
     import os
+    try:
+        import jax
+        n_proc, rank0 = jax.process_count(), jax.process_index() == 0
+    except Exception:
+        n_proc, rank0 = 1, True
+    if n_proc > 1 and not _local:
+        # multi-host: rank 0 decides (load-or-probe) and broadcasts — ranks
+        # must NOT probe independently (non-shared FS means only rank 0 has
+        # the persisted file; and a fresh probe can differ once latest.npy
+        # exists), or the static model shapes diverge across processes
+        from jax.experimental import multihost_utils
+        import numpy as np
+        if rank0:
+            c = apply_auto_budget(cfg, split, _local=True)
+            vals = np.array([c.cull_budget, c.part_budget,
+                             *c.part_budget_scales], np.float64)
+        else:
+            vals = np.zeros(7, np.float64)
+        vals = np.asarray(multihost_utils.broadcast_one_to_all(vals))
+        return cfg.merged({"cull_budget": float(vals[0]),
+                           "part_budget": float(vals[1]),
+                           "part_budget_scales": [float(v) for v in vals[2:]]})
     path = os.path.join(cfg.trained_model_dir, "budgets.json")
     if os.path.exists(path):
         with open(path) as f:

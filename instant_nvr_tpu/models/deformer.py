@@ -31,8 +31,13 @@ class DeformerSpec(NamedTuple):
     scale: float = 0.05
 
 
-def make_deformer_spec(embed_kwargs: dict, primes) -> DeformerSpec:
-    return DeformerSpec(embed=make_hashgrid_spec(primes=primes, **embed_kwargs))
+def make_deformer_spec(embed_kwargs: dict, primes,
+                       scalar_ok: bool = True) -> DeformerSpec:
+    # scalar_ok: whether the scalar-grid reparameterization is exact for
+    # the optimizer config (see build_model_spec) — the deformer grid must
+    # honor the same gate as the part grids.
+    return DeformerSpec(embed=make_hashgrid_spec(
+        primes=primes, scalar_tables=scalar_ok, **embed_kwargs))
 
 
 def deformer_init(key: jax.Array, spec: DeformerSpec) -> dict:

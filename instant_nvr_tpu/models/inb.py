@@ -114,7 +114,8 @@ def build_model_spec(cfg) -> ModelSpec:
             rgb_archs.append((kw.d_hidden, kw.n_layers))
         else:
             rgb_archs.append(default_color)
-    deformer = make_deformer_spec(cfg.tpose_deformer.embedder.kwargs.to_dict(), primes)
+    deformer = make_deformer_spec(cfg.tpose_deformer.embedder.kwargs.to_dict(),
+                                  primes, scalar_ok=scalar_ok)
     return ModelSpec(
         partnames=partnames,
         part_embeds=tuple(part_embeds),

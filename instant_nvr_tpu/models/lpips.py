@@ -202,10 +202,19 @@ def lpips_distance_jit(img_pred, img_gt, weights_path: str = "") -> float:
     branches reassemble onto the full canvas (``if_nerf.py:118-126`` does the
     same) — so the whole VGG stack compiles ONCE per split instead of paying
     ~16 eager per-op remote compiles per image (weak #5, round-2 verdict).
-    The weights travel as jit ARGUMENTS (device-resident after the first
-    call), not closed-over constants.
+    The weights travel as jit ARGUMENTS, not closed-over constants — and as
+    pre-``device_put`` arrays: jit re-uploads *numpy* arguments on every
+    call, which for the ~59 MB VGG stack would re-serialize the tunnel
+    latency this cache exists to remove.
     """
-    return float(_lpips_jit(_eval_vgg_params(weights_path),
-                            _eval_lin_weights(weights_path),
+    vgg_dev, lin_dev = _eval_device_weights(weights_path)
+    return float(_lpips_jit(vgg_dev, lin_dev,
                             jnp.asarray(img_pred, jnp.float32),
                             jnp.asarray(img_gt, jnp.float32)))
+
+
+@functools.lru_cache(maxsize=2)
+def _eval_device_weights(weights_path: str = ""):
+    """Device-resident copies of the eval VGG/linear weights (one upload)."""
+    return (jax.device_put(_eval_vgg_params(weights_path)),
+            jax.device_put(_eval_lin_weights(weights_path)))

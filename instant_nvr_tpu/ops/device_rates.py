@@ -120,7 +120,9 @@ def get_rates() -> Rates:
             with open(path) as f:
                 _cached = Rates(**json.load(f))
             return _cached
-        except (ValueError, TypeError, KeyError):
+        except (OSError, ValueError, TypeError, KeyError):
+            # unreadable/corrupt cache degrades to a fresh probe, same as
+            # a probe failure degrades to defaults — never abort the step
             pass
     try:
         _cached = _probe()

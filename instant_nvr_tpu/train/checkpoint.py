@@ -83,7 +83,17 @@ def load_checkpoint(model_dir: str, state_template, epoch=None):
         "step": np.asarray(state_template.step),
         "meta": {"epoch": 0, "step": 0},
     }
-    restored = ckptr.restore(path, template)
+    try:
+        restored = ckptr.restore(path, template)
+    except Exception as e:
+        # Incompatible checkpoint (different model build / table layout):
+        # an unattended resilient driver must start fresh rather than
+        # crash-loop on resume.  Weights-only eval loads (load_weights)
+        # stay strict — evaluating the wrong checkpoint is meaningless.
+        print(f"WARNING: checkpoint at {path} is incompatible with the "
+              f"current model build ({type(e).__name__}: {e}); starting "
+              f"from scratch")
+        return None, None
     new_state = state_template._replace(
         params=restored["params"], opt_state=restored["opt_state"],
         step=jax.numpy.asarray(restored["step"]))

@@ -103,3 +103,35 @@ def test_remat_step_matches_plain():
         st, stats = step(st, batch, jax.random.key(0))
         losses.append(float(stats["loss"]))
     assert losses[0] == losses[1]
+
+
+def test_incompatible_checkpoint_starts_fresh(tmp_path, capsys):
+    """A checkpoint from a different model build (e.g. pre-scalar-grid table
+    shapes) must not crash-loop an unattended resume — load_checkpoint
+    returns (None, None) with a warning and training starts from scratch."""
+    import jax.numpy as jnp
+    import numpy as np
+    from instant_nvr_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+
+    class FakeState:
+        def __init__(self, params):
+            self.params = params
+            self.opt_state = {"mu": params}
+            self.step = np.zeros((), np.int32)
+
+        def _replace(self, **kw):
+            out = FakeState(kw.get("params", self.params))
+            out.opt_state = kw.get("opt_state", self.opt_state)
+            return out
+
+    old = FakeState({"table": jnp.zeros((8, 16))})
+    save_checkpoint(str(tmp_path), 0, old, {"step": 0})
+
+    new_template = FakeState({"table": jnp.zeros((8,))})  # scalar layout
+    state, meta = load_checkpoint(str(tmp_path), new_template)
+    assert state is None and meta is None
+    assert "incompatible" in capsys.readouterr().out
+
+    # matching template still restores
+    state2, meta2 = load_checkpoint(str(tmp_path), old)
+    assert state2 is not None and int(meta2["epoch"]) == 0

@@ -88,6 +88,20 @@ def main():
     if oerr > 0.05:
         failures.append("onehot_scatter_add wrong on this hardware")
 
+    # 1c-scalar. F=1 one-hot payload (reachable from _scalar_gather_bwd for
+    # small scalar tables with many records) — interpret mode passing does
+    # not prove the Mosaic compile is right on silicon
+    po1 = rng.normal(size=(Ro, 1)).astype(np.float32)
+    got_o1 = np.asarray(onehot_scatter_add(
+        jnp.asarray(ko), jnp.asarray(po1, jnp.bfloat16), To, (0, To)),
+        np.float32)
+    ref_o1 = np.zeros((To, 1), np.float32)
+    np.add.at(ref_o1, ko, jnp.asarray(po1, jnp.bfloat16).astype(np.float32))
+    o1err = np.abs(got_o1 - ref_o1).max() / (np.abs(ref_o1).max() + 1e-6)
+    print(f"[1c-scalar] F=1 one-hot scatter-add rel err vs numpy: {o1err:.4f}")
+    if o1err > 0.05:
+        failures.append("onehot_scatter_add F=1 wrong on this hardware")
+
     # 2. f32 matmul precision sanity (MXU truncation detector)
     x = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
     got = np.asarray(jax.jit(lambda m: m @ m)(x))
