@@ -118,6 +118,28 @@ def _run(mode: str, pid: int = 0, port: int = 0, tmpdir: str = "") -> None:
                          allow_pickle=True).item()
             print(f"METRICS {len(m['psnr'])} "
                   f"PSNRSUM {sum(m['psnr']):.1f}", flush=True)
+        # auto_budget broadcast: rank 0 decides (probe stubbed to known
+        # values), every rank must land on the SAME static budgets — shape
+        # divergence here would deadlock the lockstep jitted step
+        from instant_nvr_tpu.config.config import Config
+        from instant_nvr_tpu.datasets import tpose_dataset as tmod
+        from instant_nvr_tpu.models import budget as bmod
+        probes = []
+
+        def fake_probe(cfg_, ds_, n_probe=4, headroom=1.25, seed=0):
+            probes.append(1)
+            return 0.31, 0.41, (1.0, 0.8, 0.6, 0.4, 0.2)
+
+        bmod.estimate_budgets = fake_probe
+        tmod.TPoseDataset = lambda *a, **k: None
+        bcfg = Config({"auto_budget": True, "trained_model_dir": tmpdir,
+                       "cull_budget": 0.1, "part_budget": 0.1,
+                       "N_samples": 8, "N_rand": 64, "patch_size": 8})
+        out = bmod.apply_auto_budget(bcfg)
+        assert probes == ([1] if jax.process_index() == 0 else []), \
+            "non-rank-0 process probed budgets itself"
+        print(f"BUDGET {out.cull_budget:.4f} {out.part_budget:.4f} "
+              f"{out.part_budget_scales[1]:.4f}", flush=True)
         jax.experimental.multihost_utils.sync_global_devices("done")
 
 
@@ -174,8 +196,13 @@ def _orchestrate() -> int:
         f"2-process loss {losses[1]} != single-process loss {losses[0]}"
     n = int(grab(outs[1] if "METRICS" in outs[1] else outs[2], "METRICS"))
     assert n == N_ITEMS, f"merged metrics cover {n}/{N_ITEMS} items"
+    b1 = [ln for ln in outs[1].splitlines() if ln.startswith("BUDGET")]
+    b2 = [ln for ln in outs[2].splitlines() if ln.startswith("BUDGET")]
+    assert b1 and b2 and b1 == b2, \
+        f"broadcast budgets differ across processes: {b1} vs {b2}"
+    assert b1[0].split()[1] == "0.3100", f"budget broadcast wrong: {b1[0]}"
     print(f"OK 2-process loss={losses[1]:.8f} single={losses[0]:.8f} "
-          f"metrics={n}/{N_ITEMS}")
+          f"metrics={n}/{N_ITEMS} budgets={b1[0].split()[1:]}")
     return 0
 
 
