@@ -64,4 +64,22 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The remote TPU tunnel can flap mid-run (RESOURCE_EXHAUSTED /
+    # unavailable backend); one bench invocation is the round's recorded
+    # number, so retry before giving up.  A dead PJRT client poisons the
+    # whole process — re-exec for a genuinely fresh attempt.
+    try:
+        main()
+    except Exception as e:
+        import os
+        import sys
+        import time as _t
+        attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
+        if attempt >= 2:
+            raise
+        print(f"bench attempt {attempt + 1} failed "
+              f"({type(e).__name__}: {e}); re-exec in 60s",
+              file=sys.stderr, flush=True)
+        _t.sleep(60)
+        os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
