@@ -27,6 +27,14 @@ def _setup_compilation_cache():
             os.environ.get("JAX_COMPILATION_CACHE_DIR",
                            os.path.expanduser("~/.jax_cache")))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # NVR_PLATFORM=cpu forces the CPU backend for any CLI entry point.
+        # JAX_PLATFORMS alone is NOT enough in environments whose
+        # sitecustomize registers a PJRT plugin (the plugin still
+        # initializes — and hangs if its device tunnel is down); the config
+        # update must happen after import and before first backend use.
+        plat = os.environ.get("NVR_PLATFORM", "")
+        if plat:
+            jax.config.update("jax_platforms", plat)
     except Exception:
         pass  # ancient jax / no config knob: run uncached
 
