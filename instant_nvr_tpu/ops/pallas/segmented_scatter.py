@@ -153,6 +153,142 @@ def _scatter_kernel(starts_ref, keys_hbm, pay_hbm, out_ref, acc_ref,
     jax.lax.fori_loop(0, ppm // wp, write_body, 0, unroll=False)
 
 
+def _scatter_kernel_f1(starts_ref, keys_hbm, pay_hbm, out_ref, acc_ref,
+                       keys_buf, keys_smem, pay_buf, sem):
+    """F=1 (scalar-table) macro-tile kernel: lane-slotting happens HERE.
+
+    v1 lane-slotted the payload in XLA — for F=1 that is a 128x expansion
+    ((R,) -> (R, 128) bf16; ~170 MB written + padded + re-read per big
+    table, ~3.5 ms/step of pure HBM churn on the flagship trace).  Here the
+    payload rides to VMEM in its natural (R/128, 128) layout and each
+    128-record block builds its slotted (128, 128) tile on the fly:
+
+      Z[j, l]  = pay[j] * (lane(j) == l)        lane(j) = key_j % 128
+      oh[p, j] = (key_j // 128 == w*128 + p)    packed-row one-hot
+      upd      = oh @ Z                         (128,128)@(128,128) MXU
+
+    Z needs lane/pay indexed by SUBLANE (the contraction dim) while the
+    buffers hold them lane-major — transposed via one-hot MXU matmuls.
+    CRITICAL precision note: the MXU computes f32 matmuls at bf16 precision
+    on this device (see CLAUDE.md KNN corruption), so only values exact in
+    bf16 may ride a transpose matmul: lane in [0,128) and the bf16 payload
+    qualify; raw keys (up to 2^22) do NOT and stay lane-major throughout.
+    The f1 window is 128 packed rows * 128 lanes = 16384 table rows, so
+    the accumulate matmul runs the full 128x128 MXU (v1's WINDOW=1024 was
+    tuned for F=16 and would leave M=8).
+    """
+    t = pl.program_id(0)
+    wp = 128                                   # packed rows per window
+    w_rows = wp * LANES                        # table rows per window: 16384
+    ppm = TILE_ROWS // LANES                   # packed rows per macro tile
+    wpm = TILE_ROWS // w_rows                  # windows per macro tile
+    seg_start = starts_ref[t]
+    seg_end = starts_ref[t + 1]
+
+    def zero_body(wi, _):
+        acc_ref[pl.ds(wi * wp, wp), :] = jnp.zeros((wp, LANES), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, ppm // wp, zero_body, 0, unroll=False)
+
+    b_lo = (seg_start // BLOCK) * BLOCK
+    n_refills = pl.cdiv(seg_end - b_lo, CAP)
+
+    def refill_copies(rf, slot):
+        buf0 = b_lo + rf * CAP
+        return (
+            pltpu.make_async_copy(
+                keys_hbm.at[pl.ds(buf0 // 128, CAP // 128), :],
+                keys_buf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(
+                keys_hbm.at[pl.ds(buf0 // 128, CAP // 128), :],
+                keys_smem.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(
+                pay_hbm.at[pl.ds(buf0 // 128, CAP // 128), :],
+                pay_buf.at[slot], sem.at[slot, 2]),
+        )
+
+    @pl.when(n_refills > 0)
+    def _():
+        for c in refill_copies(0, 0):
+            c.start()
+
+    iota_sub_f = jax.lax.broadcasted_iota(
+        jnp.int32, (LANES, LANES), 0).astype(jnp.float32)
+    iota_lane_f = jax.lax.broadcasted_iota(
+        jnp.int32, (LANES, LANES), 1).astype(jnp.float32)
+    # transpose matmuls run in f32 (Mosaic rejects mixed bf16->f32
+    # dot_general on a (1,128) operand); the MXU truncates f32 matmuls to
+    # bf16 precision on this device, which is exact here: lane in [0,128)
+    # and the payload is bf16 to begin with
+    ident = (iota_sub_f == iota_lane_f).astype(jnp.float32)
+
+    def refill_body(rf, _):
+        slot = jax.lax.rem(rf, 2)
+        buf0 = b_lo + rf * CAP
+
+        @pl.when(rf + 1 < n_refills)
+        def _():
+            for c in refill_copies(rf + 1, 1 - slot):
+                c.start()
+
+        for c in refill_copies(rf, slot):
+            c.wait()
+
+        nb = pl.cdiv(jnp.minimum(seg_end, buf0 + CAP) - buf0, BLOCK)
+
+        def block_body(bj, _):
+            off = pl.multiple_of(bj * BLOCK, BLOCK)
+            krow = keys_buf[slot, pl.ds(off // 128, 1), :]      # (1, 128) i32
+            prow_f = (krow // LANES).astype(jnp.float32)        # (1, 128)
+            lane_f = (krow % LANES).astype(jnp.float32)         # exact: <128
+            # pay rides as f32: Mosaic cannot do an unaligned 1-row dynamic
+            # load from a (16,128)-tiled bf16 buffer (32-bit buffers can)
+            pay_f = pay_buf[slot, pl.ds(off // 128, 1), :]      # (1, 128) f32
+
+            # transpose lane/pay to columns via one-hot MXU matmuls
+            lane_col = jax.lax.dot_general(
+                ident, lane_f, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (128, 1)
+            pay_col = jax.lax.dot_general(
+                ident, pay_f, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (128, 1)
+            z = jnp.where(lane_col == iota_lane_f, pay_col, 0.0)  # (128, 128)
+            zb = z.astype(jnp.bfloat16)
+
+            k0 = keys_smem[slot, off // 128, 0]
+            k1 = keys_smem[slot, (off + BLOCK - 1) // 128, 127]
+            wlo = jnp.maximum(k0 // w_rows, t * wpm)
+            whi = jnp.minimum(k1 // w_rows, t * wpm + wpm - 1)
+
+            def window_body(w, _):
+                base = (w * wp).astype(jnp.float32)
+                # oh[p, j] = (key_j // 128 == w*wp + p); prow_f (1, 128)
+                # broadcasts along sublanes, p is the sublane iota
+                oh = ((prow_f - base) == iota_sub_f).astype(jnp.bfloat16)
+                upd = jax.lax.dot_general(
+                    oh, zb, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (wp, 128)
+                sl = pl.ds(pl.multiple_of(w * wp - t * ppm, wp), wp)
+                acc_ref[sl, :] = acc_ref[sl, :] + upd
+                return 0
+
+            jax.lax.fori_loop(wlo, whi + 1, window_body, 0, unroll=False)
+            return 0
+
+        jax.lax.fori_loop(0, nb, block_body, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, n_refills, refill_body, 0, unroll=False)
+
+    def write_body(wi, _):
+        sl = pl.ds(wi * wp, wp)
+        out_ref[sl, :] = acc_ref[sl, :].astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ppm // wp, write_body, 0, unroll=False)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("T_pad", "n_levels", "packed_out",
                                     "interpret"))
@@ -186,10 +322,14 @@ def segmented_scatter_add(keys: jnp.ndarray, payload: jnp.ndarray,
     # 1. per-level batched multisort.  F>=2: key + F/2 packed-bf16-pair
     #    operands.  F==1: key + ONE bf16 passenger (sorted by key only, so
     #    the payload dtype never affects the order).
+    # is_stable=False: a stable sort makes XLA carry a hidden iota operand
+    # (traced as a third s32 passenger, +1/3 sort traffic); equal-key
+    # records are summed (f32, in-kernel) so their relative order is moot
     kl = keys.reshape(n_levels, R // n_levels)
     if F == 1:
         pl1 = payload.astype(jnp.bfloat16).reshape(n_levels, R // n_levels)
-        sk, sp = jax.lax.sort([kl, pl1], dimension=1, num_keys=1)
+        sk, sp = jax.lax.sort([kl, pl1], dimension=1, num_keys=1,
+                              is_stable=False)
         sk = sk.reshape(R)
         spay = sp.reshape(R, 1)
     else:
@@ -197,15 +337,24 @@ def segmented_scatter_add(keys: jnp.ndarray, payload: jnp.ndarray,
             payload.astype(jnp.bfloat16).reshape(R, F // 2, 2), jnp.int32)
         pll = packed.reshape(n_levels, R // n_levels, F // 2)
         ops = [kl] + [pll[..., i] for i in range(F // 2)]
-        out = jax.lax.sort(ops, dimension=1, num_keys=1)
+        out = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=False)
         sk = out[0].reshape(R)
         spay = jax.lax.bitcast_convert_type(
             jnp.stack(out[1:], axis=-1), jnp.bfloat16).reshape(R, F)
 
-    # 2. lane-slot the payload: record r's features go to lane block
-    #    (key % rpl) of a 128-lane row (same bytes as zero-padding to 128)
-    slot_oh = (sk[:, None] % rpl == jnp.arange(rpl, dtype=jnp.int32)[None, :])
-    spay = (slot_oh[:, :, None] * spay[:, None, :]).reshape(R, LANES)
+    if F > 1:
+        # 2. lane-slot the payload: record r's features go to lane block
+        #    (key % rpl) of a 128-lane row (same bytes as zero-padding to 128)
+        slot_oh = (sk[:, None] % rpl
+                   == jnp.arange(rpl, dtype=jnp.int32)[None, :])
+        spay = (slot_oh[:, :, None] * spay[:, None, :]).reshape(R, LANES)
+    else:
+        # F=1: the kernel lane-slots per block in VMEM (_scatter_kernel_f1);
+        # the payload ships in its natural (R/128, 128) layout — v1's XLA
+        # expansion here cost a 128x HBM round-trip per big table.  f32
+        # because Mosaic only supports the kernel's unaligned 1-row dynamic
+        # loads from 32-bit (8,128)-tiled buffers (still 32x less than v1)
+        spay = spay.reshape(R).astype(jnp.float32)
 
     # 3. pad records to the CAP grid, plus 2*CAP of sentinel slack: a macro
     #    tile's refill window starts at its (block-aligned) segment start,
@@ -213,7 +362,11 @@ def segmented_scatter_add(keys: jnp.ndarray, payload: jnp.ndarray,
     #    ~R + CAP + BLOCK rows — keep every DMA in bounds
     R_pad = ((R + CAP - 1) // CAP) * CAP + 2 * CAP
     sk = jnp.pad(sk, (0, R_pad - R), constant_values=jnp.int32(T_pad))
-    spay = jnp.pad(spay, ((0, R_pad - R), (0, 0)))
+    if F > 1:
+        spay = jnp.pad(spay, ((0, R_pad - R), (0, 0)))
+    else:
+        spay = jnp.pad(spay, (0, R_pad - R)).reshape(R_pad // 128, 128)
+        assert spay.dtype == jnp.float32
 
     # 4. per-macro-tile segment starts
     n_macro = T_pad // TILE_ROWS
@@ -221,8 +374,12 @@ def segmented_scatter_add(keys: jnp.ndarray, payload: jnp.ndarray,
     starts = jnp.searchsorted(sk, edges).astype(jnp.int32)
 
     keys2d = sk.reshape(R_pad // 128, 128)
+    kern = (_scatter_kernel_f1 if F == 1
+            else functools.partial(_scatter_kernel, F=F))
+    pay_scratch = (pltpu.VMEM((2, CAP // 128, 128), jnp.float32) if F == 1
+                   else pltpu.VMEM((2, CAP, LANES), jnp.bfloat16))
     packed_grad = pl.pallas_call(
-        functools.partial(_scatter_kernel, F=F),
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_macro,),
@@ -235,7 +392,7 @@ def segmented_scatter_add(keys: jnp.ndarray, payload: jnp.ndarray,
                 pltpu.VMEM((TILE_ROWS // rpl, LANES), jnp.float32),
                 pltpu.VMEM((2, CAP // 128, 128), jnp.int32),
                 pltpu.SMEM((2, CAP // 128, 128), jnp.int32),
-                pltpu.VMEM((2, CAP, LANES), jnp.bfloat16),
+                pay_scratch,
                 pltpu.SemaphoreType.DMA((2, 3)),
             ],
         ),
