@@ -353,7 +353,8 @@ def segmented_scatter_add(keys: jnp.ndarray, payload: jnp.ndarray,
         # the payload ships in its natural (R/128, 128) layout — v1's XLA
         # expansion here cost a 128x HBM round-trip per big table.  f32
         # because Mosaic only supports the kernel's unaligned 1-row dynamic
-        # loads from 32-bit (8,128)-tiled buffers (still 32x less than v1)
+        # loads from 32-bit (8,128)-tiled buffers (4 B/record vs v1's
+        # (R,128) bf16 = 256 B/record — 64x less)
         spay = spay.reshape(R).astype(jnp.float32)
 
     # 3. pad records to the CAP grid, plus 2*CAP of sentinel slack: a macro

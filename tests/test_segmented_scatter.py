@@ -47,9 +47,14 @@ def test_uniform(rng, n_levels, F):
     _check(keys, payload, T_pad, n_levels)
 
 
-def test_pileup_exceeding_refill_cap(rng):
-    """More records on one macro tile than one VMEM refill holds."""
-    R, F = 3 * CAP, 16
+@pytest.mark.parametrize("F", [1, 16])
+def test_pileup_exceeding_refill_cap(rng, F):
+    """More records on one macro tile than one VMEM refill holds.
+
+    F=1 exercises the scalar kernel's own refill/window/lane-slot logic
+    (_scatter_kernel_f1), which shares none of the F>1 path's code.
+    """
+    R = 3 * CAP
     T_pad = 2 * TILE_ROWS
     keys = np.where(rng.random(R) < 0.9, 777,
                     rng.integers(0, T_pad, R)).astype(np.int32)
@@ -57,8 +62,9 @@ def test_pileup_exceeding_refill_cap(rng):
     _check(keys, payload, T_pad)
 
 
-def test_all_one_key(rng):
-    R, F = 2048, 16
+@pytest.mark.parametrize("F", [1, 16])
+def test_all_one_key(rng, F):
+    R = 2048
     keys = np.full(R, TILE_ROWS + 5, np.int32)
     payload = jnp.asarray(rng.standard_normal((R, F)), jnp.bfloat16)
     _check(keys, payload, 2 * TILE_ROWS)
