@@ -45,21 +45,33 @@ def main():
         float(stats["loss"])
         jax.profiler.stop_trace()
 
-    n_steps = 30
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, stats = step(state, batch, rngs[i % 8])
-    # fetch a value: forces true completion (block_until_ready alone can
-    # return early through remote-device tunnels)
-    float(stats["loss"])
-    dt = time.perf_counter() - t0
+    # Median of >=5 independent timing windows with a dispersion report:
+    # a single window through the remote tunnel conflates device throughput
+    # with transient tunnel latency (round 3 saw a 1.48x spread between two
+    # single-window measurements of the same code — BASELINE.md).
+    n_windows, n_steps = 5, 20
+    rates = []
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, stats = step(state, batch, rngs[i % 8])
+        # fetch a value: forces true completion (block_until_ready alone
+        # can return early through remote-device tunnels)
+        float(stats["loss"])
+        dt = time.perf_counter() - t0
+        rates.append(n_steps * n_rays / dt)
 
-    rays_per_sec = n_steps * n_rays / dt
+    rates.sort()
+    median = rates[n_windows // 2]
     print(json.dumps({
         "metric": "train_rays_per_sec",
-        "value": round(rays_per_sec, 1),
+        "value": round(median, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(median / BASELINE_RAYS_PER_SEC, 3),
+        "windows": n_windows,
+        "steps_per_window": n_steps,
+        "min": round(rates[0], 1),
+        "max": round(rates[-1], 1),
     }))
 
 

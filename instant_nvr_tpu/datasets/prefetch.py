@@ -1,10 +1,16 @@
 """Host-side async batch prefetching.
 
-TPU replacement for the reference's CUDA-stream device prefetch queue
-(``lib/train/trainers/trainer.py:64-135``, depth ``cfg.device_prefetch=8``):
-a worker thread prepares numpy batches ahead of the training loop and
-``jax.device_put`` stages them; XLA overlaps the H2D copies with compute, so
-no manual stream juggling is needed (SURVEY.md §2.10).
+TPU replacement for the reference's loader workers + CUDA-stream device
+prefetch queue (``lib/datasets/make_dataset.py:122-128`` — 16 worker
+processes, pinned memory; ``lib/train/trainers/trainer.py:64-135`` — depth
+``cfg.device_prefetch=8``): ``workers`` threads build numpy batches ahead of
+the training loop (cv2/PIL/numpy release the GIL on the hot decode/resize
+ops, so threads give real parallelism for item construction), a single
+stager thread applies ``device_put`` in index order, and XLA overlaps the
+H2D copies with compute — no manual stream juggling needed (SURVEY.md
+§2.10).  Staging stays single-threaded on purpose: the train loop's device
+cache relies on one-writer semantics, and batch order must match
+``indices`` exactly for multi-host determinism.
 """
 from __future__ import annotations
 
@@ -14,19 +20,37 @@ from typing import Callable, Iterator, Optional
 
 
 class Prefetcher:
-    """Runs ``producer(i)`` for i in ``indices`` on a thread, depth-bounded."""
+    """Runs ``producer(i)`` for i in ``indices`` across ``workers`` threads,
+    applies ``device_put`` in order on one stager thread, depth-bounded."""
 
     def __init__(self, producer: Callable[[int], dict], indices,
-                 depth: int = 8, device_put: Optional[Callable] = None):
+                 depth: int = 8, device_put: Optional[Callable] = None,
+                 workers: int = 1):
         self.producer = producer
         self.indices = list(indices)
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.device_put = device_put
+        self.depth = depth
         self._err = None
-        self.thread = threading.Thread(target=self._run, daemon=True)
-        self.thread.start()
+        self._workers = max(1, int(workers))
+        if self._workers == 1:
+            self.thread = threading.Thread(target=self._run_serial,
+                                           daemon=True)
+            self.thread.start()
+        else:
+            self._cv = threading.Condition()
+            self._claim = 0        # next index position a worker may take
+            self._next = 0         # next position the stager will emit
+            self._ready: dict = {}  # pos -> produced item
+            for _ in range(self._workers):
+                threading.Thread(target=self._produce_loop,
+                                 daemon=True).start()
+            self.thread = threading.Thread(target=self._stage_loop,
+                                           daemon=True)
+            self.thread.start()
 
-    def _run(self):
+    # ---- single-worker path (original behavior) ----
+    def _run_serial(self):
         try:
             for i in self.indices:
                 b = self.producer(i)
@@ -35,6 +59,57 @@ class Prefetcher:
                 self.q.put(b)
         except BaseException as e:  # surface worker errors to the consumer
             self._err = e
+        finally:
+            self.q.put(None)
+
+    # ---- multi-worker path: parallel produce, ordered single-thread stage
+    def _produce_loop(self):
+        n = len(self.indices)
+        while True:
+            with self._cv:
+                # bound the reassembly buffer: never run more than
+                # depth positions ahead of what the stager has emitted
+                while (self._claim - self._next >= self.depth
+                       and self._err is None):
+                    self._cv.wait()
+                if self._err is not None or self._claim >= n:
+                    return
+                pos = self._claim
+                self._claim += 1
+            try:
+                item = self.producer(self.indices[pos])
+            except BaseException as e:
+                with self._cv:
+                    if self._err is None:
+                        self._err = e
+                    self._cv.notify_all()
+                return
+            with self._cv:
+                self._ready[pos] = item
+                self._cv.notify_all()
+
+    def _stage_loop(self):
+        n = len(self.indices)
+        try:
+            while self._next < n:
+                with self._cv:
+                    while (self._next not in self._ready
+                           and self._err is None):
+                        self._cv.wait()
+                    if self._err is not None:
+                        break
+                    item = self._ready.pop(self._next)
+                if self.device_put is not None:
+                    item = self.device_put(item)
+                self.q.put(item)
+                with self._cv:
+                    self._next += 1
+                    self._cv.notify_all()
+        except BaseException as e:
+            with self._cv:
+                if self._err is None:
+                    self._err = e
+                self._cv.notify_all()
         finally:
             self.q.put(None)
 

@@ -183,7 +183,6 @@ def train(cfg: Config, resume: bool = True,
     n_epochs = max_epochs if max_epochs is not None else cfg.train.epoch
     ep_iter = cfg.ep_iter
     max_iter = n_epochs * ep_iter
-    rng_host = np.random.default_rng(0)
     steps_seen = 0  # post-resume step counter driving the profile window
     profiling = False
     dev_cache: Dict = {}  # device copies of frame/static batch tensors
@@ -200,17 +199,23 @@ def train(cfg: Config, resume: bool = True,
         recorder.epoch = epoch
 
         # multi-host contract: every process walks the SAME indices and
-        # builds the SAME host batch (rng_host is seeded identically); the
+        # builds the SAME host batch (item rng is (epoch, pos)-seeded); the
         # ray axis is then globally sharded and each process contributes its
         # addressable slice (pmesh.put_global).  One image per step, like
         # the reference — rays are the parallel axis, not images.
         sampler = IterationBasedSampler(len(ds), ep_iter, seed=epoch)
         indices = sampler.epoch(epoch)
 
-        def produce(i, _ds=ds, _ecfg=ecfg):
-            item = _ds.get_item(i, ratio=_ecfg.ratio,
+        def produce(pos, _ds=ds, _ecfg=ecfg, _indices=indices, _epoch=epoch):
+            # rng is seeded by (epoch, position), NOT drawn from a shared
+            # stream: with parallel producer threads a shared generator
+            # would make ray sampling depend on thread schedule, breaking
+            # the multi-host same-batch-everywhere contract
+            rng = np.random.default_rng(
+                np.random.SeedSequence(entropy=(7, _epoch, pos)))
+            item = _ds.get_item(_indices[pos], ratio=_ecfg.ratio,
                                 sample_focus=_ecfg.get("sample_focus", ""),
-                                rng=rng_host)
+                                rng=rng)
             return item
 
         def stage(item, _ecfg=ecfg):
@@ -226,7 +231,17 @@ def train(cfg: Config, resume: bool = True,
                 shardings = pmesh.batch_shardings(mesh, db)
             return item, device_batch(item, rdw, shardings, cache=dev_cache)
 
-        pf = Prefetcher(produce, indices, depth=8, device_put=stage)
+        # cfg.train.num_workers producer threads (reference: 16 DataLoader
+        # worker processes, make_dataset.py:122-128); 0/1 = serial producer.
+        # Staging (device_put) always runs on one thread — see prefetch.py.
+        n_workers = max(1, int(cfg.train.num_workers))
+        if n_workers > 1:
+            # stop cv2's internal pool oversubscribing the host (the
+            # reference pins cv2 threads per worker, make_dataset.py:88-97)
+            import cv2
+            cv2.setNumThreads(1)
+        pf = Prefetcher(produce, range(len(indices)), depth=8,
+                        device_put=stage, workers=n_workers)
         t_data = time.time()
         for it, (item, batch) in enumerate(pf):
             data_time = time.time() - t_data

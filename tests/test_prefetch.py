@@ -9,36 +9,81 @@ import pytest
 from instant_nvr_tpu.datasets.prefetch import Prefetcher
 
 
-def test_order_and_staging_hook():
+@pytest.mark.parametrize("workers", [1, 4])
+def test_order_and_staging_hook(workers):
     staged = []
 
     def stage(x):
         staged.append(x)
         return x * 10
 
-    pf = Prefetcher(lambda i: i + 1, range(20), depth=4, device_put=stage)
+    pf = Prefetcher(lambda i: i + 1, range(20), depth=4, device_put=stage,
+                    workers=workers)
     out = list(pf)
     assert out == [(i + 1) * 10 for i in range(20)]
+    # staging order == index order even with parallel producers (the train
+    # loop's device cache relies on one ordered stager)
     assert staged == [i + 1 for i in range(20)]
 
 
-def test_producer_error_surfaces():
+@pytest.mark.parametrize("workers", [1, 4])
+def test_producer_error_surfaces(workers):
     def produce(i):
         if i == 3:
             raise ValueError("boom-producer")
         return i
 
-    pf = Prefetcher(produce, range(8), depth=2)
+    pf = Prefetcher(produce, range(8), depth=2, workers=workers)
     with pytest.raises(ValueError, match="boom-producer"):
         list(pf)
 
 
-def test_staging_error_surfaces():
+@pytest.mark.parametrize("workers", [1, 4])
+def test_staging_error_surfaces(workers):
     def stage(x):
         if x == 5:
             raise RuntimeError("boom-stage")
         return x
 
-    pf = Prefetcher(lambda i: i, range(8), depth=2, device_put=stage)
+    pf = Prefetcher(lambda i: i, range(8), depth=2, device_put=stage,
+                    workers=workers)
     with pytest.raises(RuntimeError, match="boom-stage"):
         list(pf)
+
+
+def test_parallel_producers_overlap():
+    """With blocking producers, N workers complete ~N items concurrently."""
+    import threading
+    import time
+
+    barrier = threading.Barrier(4, timeout=10)
+
+    def produce(i):
+        if i < 4:  # first 4 items must be in flight simultaneously
+            barrier.wait()
+        return i
+
+    pf = Prefetcher(produce, range(8), depth=8, workers=4)
+    t0 = time.time()
+    assert list(pf) == list(range(8))
+    assert time.time() - t0 < 10  # serial would deadlock on the barrier
+
+
+def test_empty_indices():
+    assert list(Prefetcher(lambda i: i, [], workers=4)) == []
+    assert list(Prefetcher(lambda i: i, [], workers=1)) == []
+
+
+def test_depth_bound_respected():
+    """Producers never run more than depth+queue ahead of the consumer."""
+    import time
+    produced = []
+
+    pf = Prefetcher(lambda i: produced.append(i) or i, range(64), depth=4,
+                    workers=4)
+    it = iter(pf)
+    next(it)
+    time.sleep(0.3)  # give workers time to run ahead if unbounded
+    # reassembly buffer (depth) + output queue (depth) + in-flight slack
+    assert len(produced) <= 4 + 4 + 4 + 1
+    assert list(it) == list(range(1, 64))
