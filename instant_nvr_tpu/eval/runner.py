@@ -24,17 +24,15 @@ from .evaluator import Evaluator
 RAY_KEYS = ("ray_o", "ray_d", "near", "far")
 
 
+MAP_KEYS = ("rgb_map", "acc_map")
+TELEMETRY_KEYS = ("cull_overflow", "part_overflow", "cull_need", "part_need")
+
+
 def make_chunked_renderer(mspec: inb.ModelSpec, rspec: RenderSpec,
                           chunk: int):
-    """jit(params, ray batch (Npad,...), meta) -> rgb/acc maps (Npad,...).
-
-    Eval uses inflated point budgets: training-time budgets drop the farthest
-    points on overflow (graceful there), but eval should compute every
-    surviving sample like the reference does.
-    """
-    mspec = mspec._replace(
-        cull_frac=max(mspec.cull_frac, min(0.5, mspec.cull_frac * 2.0)),
-        part_frac=max(mspec.part_frac, min(0.75, mspec.part_frac * 1.5)))
+    """jit(params, ray batch (Npad,...), meta) -> rgb/acc maps (Npad,...)
+    plus worst-chunk budget telemetry (overflow fractions + needed budget
+    fractions; see AutoBudgetRenderer)."""
 
     @partial(jax.jit, static_argnames=())
     def render_image(params, rays: Dict[str, jnp.ndarray],
@@ -47,12 +45,16 @@ def make_chunked_renderer(mspec: inb.ModelSpec, rspec: RenderSpec,
             b.update(chunk_rays)
             ret = render_rays(mspec, rspec._replace(perturb=False), params, b,
                               train=False, rng=jax.random.key(0))
-            return {"rgb_map": ret["rgb_map"], "acc_map": ret["acc_map"]}
+            return {k: ret[k] for k in MAP_KEYS + TELEMETRY_KEYS}
 
         chunked = {k: rays[k].reshape(nc, chunk, *rays[k].shape[1:])
                    for k in RAY_KEYS}
         out = jax.lax.map(one_chunk, chunked)
-        return {k: v.reshape(n, *v.shape[2:]) for k, v in out.items()}
+        res = {k: out[k].reshape(n, *out[k].shape[2:]) for k in MAP_KEYS}
+        for k in ("cull_overflow", "part_overflow", "cull_need"):
+            res[k] = jnp.max(out[k])
+        res["part_need"] = jnp.max(out["part_need"], axis=0)   # (P,)
+        return res
 
     return render_image
 
@@ -69,7 +71,70 @@ def render_full_image(render_fn, params, item: Dict[str, np.ndarray],
         rays[k] = jnp.asarray(np.pad(v, widths, mode="edge"))
     meta = {k: jnp.asarray(item[k]) for k in meta_keys if k in item}
     out = render_fn(params, rays, meta)
-    return {k: np.asarray(v)[:n] for k, v in out.items()}
+    return {k: np.asarray(v)[:n] if k in MAP_KEYS else np.asarray(v)
+            for k, v in out.items()}
+
+
+def raise_budgets(mspec: inb.ModelSpec, cull_need: float, part_need,
+                  headroom: float = 1.15) -> inb.ModelSpec:
+    """Budgets sized to the worst observed demand, with headroom.
+
+    ``cull_need`` = surviving fraction of all samples; ``part_need`` = per
+    part, flagged fraction of the cull budget K (both from the model's
+    telemetry).  Never lowers an existing budget.
+    """
+    new_cull = min(1.0, max(mspec.cull_frac, float(cull_need) * headroom))
+    old_t = np.array([min(mspec.part_frac * s, 1.0)
+                      for s in mspec.part_budget_scales])
+    need_t = np.minimum(np.asarray(part_need, np.float64) * headroom, 1.0)
+    t = np.maximum(old_t, need_t)
+    pf = float(t.max())
+    scales = tuple(float(x) for x in t / max(pf, 1e-9))
+    return mspec._replace(cull_frac=new_cull, part_frac=pf,
+                          part_budget_scales=scales)
+
+
+class AutoBudgetRenderer:
+    """Full-image renderer with a no-dropped-samples guarantee.
+
+    Training budgets drop the farthest threshold-passing points on overflow
+    (graceful there); the reference computes EVERY surviving sample at eval
+    (``lib/networks/renderer/inb_renderer.py:217-237``).  This renderer
+    starts at the trained budgets, checks the model's overflow telemetry on
+    every image, and on any overflow raises the budgets to the measured
+    demand (one re-jit) and re-renders — so eval metrics are invariant to
+    the training budget config (tested: tests/test_eval_overflow.py).
+    """
+
+    def __init__(self, mspec: inb.ModelSpec, rspec: RenderSpec, chunk: int,
+                 max_raises: int = 4):
+        self.mspec = mspec
+        self.rspec = rspec
+        self.chunk = chunk
+        self.max_raises = max_raises
+        self.render_fn = make_chunked_renderer(mspec, rspec, chunk)
+
+    def __call__(self, params, item: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        out = render_full_image(self.render_fn, params, item, META_KEYS,
+                                self.chunk)
+        for _ in range(self.max_raises):
+            if out["cull_overflow"] <= 0 and out["part_overflow"] <= 0:
+                return out
+            self.mspec = raise_budgets(self.mspec, out["cull_need"],
+                                       out["part_need"])
+            print(f"eval: budget overflow (cull {float(out['cull_overflow']):.4f}, "
+                  f"part {float(out['part_overflow']):.4f}) -> raised to "
+                  f"cull_frac={self.mspec.cull_frac:.3f} "
+                  f"part_frac={self.mspec.part_frac:.3f}; re-rendering")
+            self.render_fn = make_chunked_renderer(self.mspec, self.rspec,
+                                                   self.chunk)
+            out = render_full_image(self.render_fn, params, item, META_KEYS,
+                                    self.chunk)
+        if out["cull_overflow"] > 0 or out["part_overflow"] > 0:
+            print(f"eval WARNING: overflow persists after {self.max_raises} "
+                  f"budget raises (cull {float(out['cull_overflow']):.4f}, "
+                  f"part {float(out['part_overflow']):.4f})")
+        return out
 
 
 META_KEYS = ("A", "big_A", "pbw", "pbw_sizes", "pbounds", "tbounds", "tuv",
@@ -93,7 +158,7 @@ def evaluate_dataset(cfg, mspec, rspec, params, split: str = "test",
                             pad=False)
 
     chunk = cfg.render_chunk
-    render_fn = make_chunked_renderer(mspec, rspec, chunk)
+    renderer = AutoBudgetRenderer(mspec, rspec, chunk)
     evaluator = Evaluator(result_dir=cfg.result_dir,
                           lpips_weights=cfg.get("lpips_weights", ""),
                           save_images=save_images,
@@ -103,7 +168,7 @@ def evaluate_dataset(cfg, mspec, rspec, params, split: str = "test",
 
     for idx in indices:
         item = ds.get_item(idx)
-        out = render_full_image(render_fn, params, item, META_KEYS, chunk)
+        out = renderer(params, item)
         evaluator.evaluate(out["rgb_map"], item["rgb"], item["mask_at_box"],
                            int(item["H"]), int(item["W"]),
                            frame_index=int(item["frame_index"]),

@@ -16,7 +16,7 @@ import numpy as np
 from ..datasets.tpose_dataset import TPoseDataset
 from ..ops.ray import get_near_far_np, get_rays_np
 from ..renderer.inb_renderer import make_render_spec
-from .runner import META_KEYS, make_chunked_renderer, render_full_image
+from .runner import META_KEYS, AutoBudgetRenderer
 
 
 def normalize(v):
@@ -109,7 +109,7 @@ def render_novel_views(cfg, mspec, params, n_views: Optional[int] = None,
 
     rspec = make_render_spec(cfg)
     chunk = cfg.render_chunk
-    render_fn = make_chunked_renderer(mspec, rspec, chunk)
+    renderer = AutoBudgetRenderer(mspec, rspec, chunk)
 
     out_dir = os.path.join(cfg.result_dir, "novel_views")
     os.makedirs(out_dir, exist_ok=True)
@@ -126,7 +126,7 @@ def render_novel_views(cfg, mspec, params, n_views: Optional[int] = None,
         sub = {"ray_o": ro[hit], "ray_d": rd[hit],
                "near": near.astype(np.float32), "far": far.astype(np.float32)}
         sub.update({k: item[k] for k in META_KEYS if k in item})
-        out = render_full_image(render_fn, params, sub, META_KEYS, chunk)
+        out = renderer(params, sub)
         img = np.zeros((H * W, 3), np.float32)
         img[hit] = out["rgb_map"]
         img = (img.reshape(H, W, 3) * 255).clip(0, 255).astype(np.uint8)

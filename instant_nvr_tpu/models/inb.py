@@ -407,15 +407,21 @@ def forward_parts(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarr
     raw_full = scatter_back(jnp.zeros((N, 4), raw.dtype), cidx, raw, cvalid)
     occ_full = scatter_back(jnp.zeros((N, 1), occ.dtype), cidx, occ, cvalid)
 
-    ret = {"raw": raw_full, "occ": occ_full}
+    # budget-overflow telemetry, train AND eval (see forward's step 11 note):
+    # tune cull_budget / part_budget[_scales] until ~0 on the target dataset;
+    # the eval runner auto-raises budgets from the *_need signals
+    true_surv = jnp.sum(pnorm < spec.smpl_thresh)
+    sel_surv = jnp.sum(cvalid)
+    flag_total = jnp.sum(pflag)
+    sel_total = sum(jnp.sum(s["valid"]) for s in sel)
+    ret = {
+        "raw": raw_full, "occ": occ_full,
+        "cull_overflow": (true_surv - sel_surv) / jnp.maximum(true_surv, 1),
+        "part_overflow": (flag_total - sel_total) / jnp.maximum(flag_total, 1),
+        "cull_need": true_surv / N,
+        "part_need": jnp.sum(pflag, axis=0) / K,
+    }
     if train:
-        # budget-overflow telemetry: fraction of threshold-passing points the
-        # fixed budgets could not accommodate (tune cull_budget /
-        # part_budget[_scales] until ~0 on the target dataset)
-        true_surv = jnp.sum(pnorm < spec.smpl_thresh)
-        sel_surv = jnp.sum(cvalid)
-        flag_total = jnp.sum(pflag)
-        sel_total = sum(jnp.sum(s["valid"]) for s in sel)
         ret.update({
             # flat selected-point tensors (sum of per-part budgets), masked
             "resd": jnp.concatenate(resd_list, axis=0),    # (SKp, 3)
@@ -423,8 +429,6 @@ def forward_parts(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarr
             "tocc": jnp.concatenate(tocc_list, axis=0),    # (SKp, 1)
             "tflag": jnp.concatenate(tflag_list, axis=0),  # (SKp,)
             "cull_valid": cvalid,
-            "cull_overflow": (true_surv - sel_surv) / jnp.maximum(true_surv, 1),
-            "part_overflow": (flag_total - sel_total) / jnp.maximum(flag_total, 1),
         })
     return ret
 
@@ -617,12 +621,24 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
     raw_full = scatter_back(jnp.zeros((N, 4), raw.dtype), cidx, raw, cvalid)
     occ_full = scatter_back(jnp.zeros((N, 1), occ.dtype), cidx, occ, cvalid)
 
-    ret = {"raw": raw_full, "occ": occ_full}
+    # budget telemetry, train AND eval: overflow = fraction of
+    # threshold-passing points the fixed budgets dropped; *_need = observed
+    # demand as a fraction of the enclosing budget, used by the eval runner
+    # to auto-raise budgets until overflow is exactly 0 (the reference
+    # computes every threshold-surviving sample at eval,
+    # inb_renderer.py:217-237 — fixed budgets must not silently drop any)
+    true_surv = jnp.sum(pnorm < spec.smpl_thresh)
+    sel_surv = jnp.sum(cvalid)
+    flag_total = jnp.sum(pflag)
+    sel_total = jnp.sum(all_valid)
+    ret = {
+        "raw": raw_full, "occ": occ_full,
+        "cull_overflow": (true_surv - sel_surv) / jnp.maximum(true_surv, 1),
+        "part_overflow": (flag_total - sel_total) / jnp.maximum(flag_total, 1),
+        "cull_need": true_surv / N,                      # needed cull_frac
+        "part_need": jnp.sum(pflag, axis=0) / K,         # (P,) needed Kp/K
+    }
     if train:
-        true_surv = jnp.sum(pnorm < spec.smpl_thresh)
-        sel_surv = jnp.sum(cvalid)
-        flag_total = jnp.sum(pflag)
-        sel_total = jnp.sum(all_valid)
         # flat (M, 1) occupancies for pair reg: constant-index gather from
         # the padded (P, Kmax) view
         tocc_idx = jnp.asarray(
@@ -634,7 +650,5 @@ def forward(spec: ModelSpec, params, wpts: jnp.ndarray, viewdir: jnp.ndarray,
             "tocc": occ_v.reshape(P * Kmax, 1)[tocc_idx],  # (M, 1)
             "tflag": all_valid,                # (M,)
             "cull_valid": cvalid,
-            "cull_overflow": (true_surv - sel_surv) / jnp.maximum(true_surv, 1),
-            "part_overflow": (flag_total - sel_total) / jnp.maximum(flag_total, 1),
         })
     return ret

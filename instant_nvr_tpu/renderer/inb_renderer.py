@@ -77,12 +77,15 @@ def render_rays(mspec: inb.ModelSpec, rspec: RenderSpec, params,
         "raw": raw,
         "occ": net["occ"].reshape(R, S),
     }
+    # budget telemetry flows through at train AND eval: the eval runner
+    # auto-raises budgets until overflow is exactly 0 (reference eval
+    # computes every surviving sample, inb_renderer.py:217-237)
+    for k in ("cull_overflow", "part_overflow", "cull_need", "part_need"):
+        if k in net:
+            ret[k] = net[k]
 
     if train:
         ret["resd"] = net["resd"]
-        for k in ("cull_overflow", "part_overflow"):
-            if k in net:
-                ret[k] = net[k]
 
         if rspec.use_pair_reg:
             tocc = net["tocc"][..., 0]                       # (K, P)

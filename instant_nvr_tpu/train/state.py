@@ -37,11 +37,42 @@ def make_lr_schedule(base_lr: float, gamma: float, decay_epochs: int,
     return schedule
 
 
+def make_warmup_multi_step(base_lr: float, milestones, gamma: float,
+                           warmup_factor: float, warmup_iters: int,
+                           warmup_method: str, ep_iter: int):
+    """Per-step twin of the reference's WarmupMultiStepLR
+    (``lib/utils/optimizer/lr_scheduler.py:7-50``): an epoch-granular
+    multi-step decay (gamma per passed milestone) with a constant or linear
+    warmup over the first ``warmup_iters`` epochs."""
+    import jax.numpy as jnp
+    ms = jnp.asarray(sorted(int(m) for m in milestones), jnp.int32)
+
+    def schedule(step):
+        epoch = step // max(ep_iter, 1)
+        if warmup_method == "constant":
+            warm = jnp.where(epoch < warmup_iters, warmup_factor, 1.0)
+        else:  # linear
+            alpha = epoch / max(warmup_iters, 1)
+            warm = jnp.where(epoch < warmup_iters,
+                             warmup_factor * (1.0 - alpha) + alpha, 1.0)
+        n = jnp.sum(ms <= epoch)         # bisect_right(milestones, epoch)
+        return base_lr * warm * gamma ** n
+
+    return schedule
+
+
 def make_optimizer(cfg):
     sched_cfg = cfg.train.scheduler
-    if sched_cfg.get("type", "exponential") == "exponential":
+    sched_type = sched_cfg.get("type", "exponential")
+    if sched_type == "exponential":
         schedule = make_lr_schedule(cfg.train.lr, sched_cfg.gamma,
                                     sched_cfg.decay_epochs, cfg.ep_iter)
+    elif sched_type == "warmup_multi_step":
+        schedule = make_warmup_multi_step(
+            cfg.train.lr, sched_cfg.milestones, sched_cfg.gamma,
+            sched_cfg.get("warmup_factor", 1.0 / 3),
+            sched_cfg.get("warmup_iters", 5),
+            sched_cfg.get("warmup_method", "linear"), cfg.ep_iter)
     else:  # multi_step
         boundaries = {int(m) * cfg.ep_iter: float(sched_cfg.gamma)
                       for m in sched_cfg.milestones}

@@ -80,15 +80,11 @@ def test_chunked_eval_matches_direct_render_after_training():
     for i in range(10):
         state, _ = step(state, batch, jax.random.key(i))
 
-    # the runner inflates budgets; compare against a direct render with the
-    # SAME inflated spec (pipeline identity).  A barely-trained model is
-    # extremely budget-sensitive, so comparing against the training-budget
-    # render would conflate selection differences with pipeline bugs.
+    # the chunked renderer uses the spec's budgets as-is (overflow is
+    # handled by the AutoBudgetRenderer raise loop, not inflation) — so the
+    # direct render uses the same spec for pipeline identity
     erspec = rspec._replace(perturb=False)
-    ispec = spec._replace(
-        cull_frac=max(spec.cull_frac, min(0.5, spec.cull_frac * 2.0)),
-        part_frac=max(spec.part_frac, min(0.75, spec.part_frac * 1.5)))
-    direct = render_rays(ispec, erspec, state.params, batch, train=False,
+    direct = render_rays(spec, erspec, state.params, batch, train=False,
                          rng=jax.random.key(0))["rgb_map"]
 
     chunk = 128

@@ -81,3 +81,38 @@ def test_moment_dtype_bf16():
     g = {"w": jnp.full((8, 4), 0.1)}
     upd, st = opt.update(g, st, params)
     assert jnp.isfinite(upd["w"]).all()
+
+
+def test_warmup_multi_step_scheduler():
+    """Matches the reference WarmupMultiStepLR semantics
+    (lib/utils/optimizer/lr_scheduler.py:7-50) epoch for epoch."""
+    from bisect import bisect_right
+
+    base_lr, gamma, wf, wi = 0.01, 0.1, 1.0 / 3, 5
+    milestones = [8, 12]
+    cfg = default_config().merged({
+        "train": {"lr": base_lr,
+                  "scheduler": {"type": "warmup_multi_step",
+                                "milestones": milestones, "gamma": gamma,
+                                "warmup_factor": wf, "warmup_iters": wi,
+                                "warmup_method": "linear"}},
+        "ep_iter": 10,
+    })
+    _, sched = make_optimizer(cfg)
+
+    def reference_lr(epoch):
+        warm = 1.0
+        if epoch < wi:
+            alpha = epoch / wi
+            warm = wf * (1 - alpha) + alpha
+        return base_lr * warm * gamma ** bisect_right(milestones, epoch)
+
+    for epoch in range(16):
+        got = float(sched(epoch * 10))            # first step of the epoch
+        assert abs(got - reference_lr(epoch)) < 1e-8, (epoch, got)
+
+    # constant warmup branch
+    cfg2 = cfg.merged({"train": {"scheduler": {"warmup_method": "constant"}}})
+    _, sched2 = make_optimizer(cfg2)
+    assert abs(float(sched2(0)) - base_lr * wf) < 1e-8
+    assert abs(float(sched2(wi * 10)) - base_lr) < 1e-8

@@ -10,6 +10,11 @@ numerically match the official pretrained networks:
 
 Output keys: w_<stage>_<conv> (kh, kw, Cin, Cout), b_<stage>_<conv>, and
 optionally lin_<stage> (lpips channel weights).
+
+The layout mapping is factored into :func:`convert_conv_stack` /
+:func:`convert_lpips_lins`, which operate on plain numpy arrays — so the
+mapping is testable without torchvision (tests/test_export_vgg.py
+round-trips it against real torch convs).
 """
 import argparse
 
@@ -17,6 +22,26 @@ import numpy as np
 
 _PLANS = {"vgg16": [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)],
           "vgg19": [(64, 2), (128, 2), (256, 4), (512, 4), (512, 4)]}
+
+
+def convert_conv_stack(convs, plan, stages):
+    """[(weight (Cout,Cin,kh,kw), bias (Cout,))] in torchvision ``features``
+    order -> {'w_<s>_<i>': (kh,kw,Cin,Cout), 'b_<s>_<i>': (Cout,)} for
+    models.lpips.vgg_load_npz."""
+    out = {}
+    ci = 0
+    for s, (_, n_convs) in enumerate(plan[:stages]):
+        for i in range(n_convs):
+            w, b = convs[ci]
+            out[f"w_{s}_{i}"] = np.transpose(np.asarray(w), (2, 3, 1, 0))
+            out[f"b_{s}_{i}"] = np.asarray(b)
+            ci += 1
+    return out
+
+
+def convert_lpips_lins(lins):
+    """[lpips lin conv weights (1, C, 1, 1)] -> {'lin_<s>': (C,)}."""
+    return {f"lin_{s}": np.asarray(w).reshape(-1) for s, w in enumerate(lins)}
 
 
 def main():
@@ -30,22 +55,15 @@ def main():
 
     import torchvision.models as tvm
     model = getattr(tvm, args.net)(weights="DEFAULT").features
-    convs = [m for m in model if m.__class__.__name__ == "Conv2d"]
+    convs = [(m.weight.detach().numpy(), m.bias.detach().numpy())
+             for m in model if m.__class__.__name__ == "Conv2d"]
 
-    out = {}
-    ci = 0
-    for s, (c_out, n_convs) in enumerate(_PLANS[args.net][:args.stages]):
-        for i in range(n_convs):
-            w = convs[ci].weight.detach().numpy()   # (Cout, Cin, kh, kw)
-            out[f"w_{s}_{i}"] = np.transpose(w, (2, 3, 1, 0))
-            out[f"b_{s}_{i}"] = convs[ci].bias.detach().numpy()
-            ci += 1
-
+    out = convert_conv_stack(convs, _PLANS[args.net], args.stages)
     if args.lpips:
         import lpips as lp
         net = lp.LPIPS(net="vgg", verbose=False)
-        for s, lin in enumerate(net.lins):
-            out[f"lin_{s}"] = lin.model[1].weight.detach().numpy().reshape(-1)
+        out.update(convert_lpips_lins(
+            [lin.model[1].weight.detach().numpy() for lin in net.lins]))
 
     np.savez(args.out, **out)
     print(f"wrote {args.out} with {len(out)} arrays")
