@@ -14,19 +14,38 @@ BASELINE_RAYS_PER_SEC = 10240.0
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from __graft_entry__ import _flagship
     from instant_nvr_tpu.models import inb
     from instant_nvr_tpu.train.state import create_train_state, make_optimizer
     from instant_nvr_tpu.train.step import make_train_step
 
-    cfg, mspec, rspec, lw, batch, _ = _flagship(tiny=False)
+    # BENCH_MODE=patch: time the flagship's ACTUAL training mode (the lpips
+    # stage trains 4,096-ray 64x64 patches, inb_trainer.py:211-214 /
+    # tpose_dataset.py:420-443) instead of the 1,024-ray MSE step.
+    patch_mode = os.environ.get("BENCH_MODE", "mse") == "patch"
+    cfg, mspec, rspec, lw, batch, batch_np = _flagship(tiny=False)
+    patch_fn = None
+    if patch_mode:
+        from instant_nvr_tpu.datasets import synthetic
+        from instant_nvr_tpu.train.loop import make_patch_loss_fn
+        n = cfg.patch_size ** 2
+        scene = synthetic.make_scene(n_verts=1200, grid=32)
+        view = synthetic.render_gt(scene, H=128, W=128)
+        batch_np = synthetic.make_batch(scene, view, n_rays=n)
+        batch_np["ray_mask"] = np.ones(n, np.float32)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        patch_fn = make_patch_loss_fn(cfg)
     params = jax.jit(lambda k: inb.init_params(k, mspec))(jax.random.key(0))
     opt, _ = make_optimizer(cfg)
     state = jax.jit(lambda p: create_train_state(p, opt, mspec))(params)
-    step = jax.jit(make_train_step(mspec, rspec, lw, opt), donate_argnums=(0,))
+    step = jax.jit(make_train_step(mspec, rspec, lw, opt, patch_fn),
+                   donate_argnums=(0,))
 
     n_rays = int(batch["ray_o"].shape[0])
     rngs = [jax.random.key(i) for i in range(8)]
@@ -36,7 +55,6 @@ def main():
         state, stats = step(state, batch, rngs[i % 8])
     jax.block_until_ready(stats["loss"])
 
-    import os
     trace_dir = os.environ.get("BENCH_TRACE", "")
     if trace_dir:  # profile a 5-step window (analyze: tools/analyze_trace.py)
         jax.profiler.start_trace(trace_dir)
@@ -64,7 +82,8 @@ def main():
     rates.sort()
     median = rates[n_windows // 2]
     print(json.dumps({
-        "metric": "train_rays_per_sec",
+        "metric": "train_patch_rays_per_sec" if patch_mode
+        else "train_rays_per_sec",
         "value": round(median, 1),
         "unit": "rays/s",
         "vs_baseline": round(median / BASELINE_RAYS_PER_SEC, 3),

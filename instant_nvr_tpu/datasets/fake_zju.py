@@ -20,7 +20,8 @@ NUM_BONES = 24
 def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
                        n_verts: int = 2000, H: int = 128, W: int = 128,
                        radius: float = 0.3, seed: int = 0,
-                       supersample: int = 4, texture: bool = True) -> dict:
+                       supersample: int = 4, texture: bool = True,
+                       grid: int = 16) -> dict:
     """Fabricate a miniature ZJU-layout dataset around an analytic sphere.
 
     n_verts must keep the vertex spacing well under ``smpl_thresh`` (0.05):
@@ -68,7 +69,9 @@ def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
     # canonical (bigpose) data over tbounds: bigpose_bw is a VOLUME with the
     # 24 bone weights + distance-to-surface channel (real-dataset contract)
     np.save(os.path.join(lbs, "bigpose_vertices.npy"), verts0)
-    g = 16
+    # ``grid``: bw/uv volume resolution per axis — raise toward real-SMPL
+    # volume sizes to stress the pbw device LRU at reference scale
+    g = int(grid)
     bounds = np.stack([verts0.min(0) - 0.05, verts0.max(0) + 0.05])
     axes0 = [np.linspace(bounds[0, d], bounds[1, d], g) for d in range(3)]
     g0 = np.meshgrid(*axes0, indexing="ij")

@@ -57,28 +57,47 @@ def run_dataset(cfg):
 
 
 def run_network(cfg):
-    """Forward-pass timing harness (reference run.py:16-40)."""
+    """Forward-pass timing harness (reference run.py:16-40).
+
+    Times the ACTUAL dataset loader's output like the reference does (it
+    iterates the real data loader); falls back to a synthetic batch when the
+    configured dataset is not on disk.
+    """
     import jax
     import jax.numpy as jnp
-    from instant_nvr_tpu.datasets import synthetic
+    import numpy as np
+    from instant_nvr_tpu.datasets.tpose_dataset import TPoseDataset
     from instant_nvr_tpu.renderer.inb_renderer import make_render_spec, render_rays
+    from instant_nvr_tpu.train.loop import DEVICE_KEYS
     mspec, params = _load(cfg)
     rspec = make_render_spec(cfg)
-    scene = synthetic.make_scene()
-    view = synthetic.render_gt(scene, H=128, W=128)
-    batch = {k: jnp.asarray(v) for k, v in
-             synthetic.make_batch(scene, view, n_rays=cfg.N_rand).items()}
+    try:
+        ds = TPoseDataset(cfg, "train")
+        item = ds.get_item(0, rng=np.random.default_rng(0))
+        item["reg_dist_weight"] = np.float32(cfg.get("reg_dist_weight", 0.1))
+        batch = {k: jnp.asarray(v) for k, v in item.items()
+                 if k in DEVICE_KEYS}
+        n_rays = int(batch["ray_o"].shape[0])
+        print(f"timing a real dataset batch ({n_rays} rays)")
+    except FileNotFoundError as e:
+        from instant_nvr_tpu.datasets import synthetic
+        print(f"dataset not found ({e}); timing a synthetic batch")
+        scene = synthetic.make_scene()
+        view = synthetic.render_gt(scene, H=128, W=128)
+        batch = {k: jnp.asarray(v) for k, v in
+                 synthetic.make_batch(scene, view, n_rays=cfg.N_rand).items()}
+        n_rays = cfg.N_rand
     fn = jax.jit(lambda p, b, r: render_rays(mspec, rspec, p, b, False, r)["rgb_map"])
     rng = jax.random.key(0)
     out = fn(params, batch, rng)
-    jax.block_until_ready(out)
-    t0 = time.time()
+    float(out.sum())   # value fetch: block_until_ready does not wait for
+    t0 = time.time()   # completion through the remote tunnel
     n = 20
     for i in range(n):
         out = fn(params, batch, rng)
-    jax.block_until_ready(out)
+    float(out.sum())
     dt = (time.time() - t0) / n
-    print(f"forward: {dt * 1000:.2f} ms  ({cfg.N_rand / dt:.0f} rays/s)")
+    print(f"forward: {dt * 1000:.2f} ms  ({n_rays / dt:.0f} rays/s)")
 
 
 def run_vis(cfg):

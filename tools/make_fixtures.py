@@ -26,7 +26,8 @@ from instant_nvr_tpu.datasets.fake_zju import write_fake_dataset
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["fake_zju", "fake_zju5"], default=None)
+    ap.add_argument("--only", choices=["fake_zju", "fake_zju5", "fake_zju_big"],
+                    default=None)
     args = ap.parse_args()
     if args.only in (None, "fake_zju"):
         print("writing data/fake_zju (3 views x 4 frames, 512^2) ...")
@@ -36,6 +37,18 @@ def main():
         print("writing data/fake_zju5 (5 views x 6 frames, 512^2) ...")
         write_fake_dataset("data/fake_zju5", n_frames=6, n_views=5,
                            H=512, W=512, supersample=4, texture=True)
+    if args.only == "fake_zju_big":
+        # reference-scale operating point (round-4 rehearsal): SMPL-scale
+        # vertex count (6,890), ~100 frames, 5 views, 1024^2 images trained
+        # at ratio 0.5 — the regime of /root/reference/configs/inb/
+        # inb_377.yaml:43-45,173,193.  ss=2 at 1024^2 gives the same 4x4
+        # effective GT supersampling per ratio-0.5 train pixel as ss=4 at
+        # 512^2; grid=32 makes per-frame pbw volumes device-LRU-relevant.
+        print("writing data/fake_zju_big (5 views x 100 frames, 1024^2, "
+              "6890 verts) ...")
+        write_fake_dataset("data/fake_zju_big", n_frames=100, n_views=5,
+                           n_verts=6890, H=1024, W=1024, supersample=2,
+                           texture=True, grid=32)
     print("done")
 
 
