@@ -190,16 +190,20 @@ def param_count(params) -> int:
 
 
 def grid_shadow(spec: ModelSpec, params):
-    """bf16 copies of the hash-table leaves (None when tables compute f32).
+    """bf16 copies of the PART hash-table leaves (None when tables compute
+    f32).  The train step refreshes this from the just-updated master params
+    so the convert fuses into the Adam sweep; forward then skips its own
+    cast.
 
-    The train step refreshes this from the just-updated master params so the
-    convert fuses into the Adam sweep; forward then skips its own cast."""
+    The deformer tables stay f32 on purpose: they are tiny (~100 KB — the
+    uvt grid caps at 2^14 rows/level) so their gathers are row-latency
+    bound, not bandwidth bound, and a bf16 gather output forced a standalone
+    full-record-stream bf16->f32 convert before the f32 lerp (5.4 ms/step
+    in the round-4 patch trace, docs/PERF.md)."""
     if spec.grid_compute_dtype != "bfloat16":
         return None
     gd = jnp.bfloat16
-    return {"embed": jax.tree.map(lambda x: x.astype(gd), params["embed"]),
-            "deformer_embed": jax.tree.map(lambda x: x.astype(gd),
-                                           params["deformer"]["embed"])}
+    return {"embed": jax.tree.map(lambda x: x.astype(gd), params["embed"])}
 
 
 def with_grid_shadow(params, shadow):
@@ -208,14 +212,12 @@ def with_grid_shadow(params, shadow):
         return params
     p = dict(params)
     p["embed"] = shadow["embed"]
-    d = dict(p["deformer"])
-    d["embed"] = shadow["deformer_embed"]
-    p["deformer"] = d
     return p
 
 
 def _cast_tables(spec: ModelSpec, params):
-    """In-forward bf16 table cast; skipped when a shadow already applied."""
+    """In-forward bf16 table cast (part grids only — see grid_shadow);
+    skipped when a shadow already applied."""
     if spec.grid_compute_dtype != "bfloat16":
         return params
     if jax.tree.leaves(params["embed"])[0].dtype == jnp.bfloat16:
@@ -223,9 +225,6 @@ def _cast_tables(spec: ModelSpec, params):
     gd = jnp.bfloat16
     params = dict(params)
     params["embed"] = jax.tree.map(lambda x: x.astype(gd), params["embed"])
-    dfm = dict(params["deformer"])
-    dfm["embed"] = jax.tree.map(lambda x: x.astype(gd), dfm["embed"])
-    params["deformer"] = dfm
     return params
 
 

@@ -117,11 +117,14 @@ def _table_gather_bwd(n_levels, F, level_offsets, res, g):
             and n_rows % TILE_ROWS == 0 and packed):
         grad = segmented_scatter_add(idx, g.astype(jnp.bfloat16), n_rows,
                                      n_levels=n_levels, packed_out=True)
-    elif (on_accel and not packed and table.dtype == jnp.bfloat16
+    elif (on_accel and not packed
+          and table.dtype in (jnp.bfloat16, jnp.float32)
           and level_offsets is not None
           and onehot_scatter_profitable(n_rows, F, idx.shape[0],
                                         level_offsets)):
-        # tiny table, huge record count: VMEM one-hot-matmul accumulate
+        # tiny table, huge record count: VMEM one-hot-matmul accumulate.
+        # f32 tables take this path too — the kernel's bf16 payload cast
+        # rounds the gradient exactly as the old bf16-gather path did
         grad = onehot_scatter_add(idx, g.astype(jnp.bfloat16), n_rows,
                                   level_offsets)
     else:
