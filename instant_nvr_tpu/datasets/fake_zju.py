@@ -103,8 +103,14 @@ def write_fake_dataset(root: str, n_frames: int = 2, n_views: int = 2,
         # the "person" rotates per frame (like a turning human): canonical
         # (pose-space) geometry/colors stay fixed while world rotates —
         # this is what makes single/few-camera training well-posed, exactly
-        # as in real ZJU captures, and exercises the world->pose transform
-        Th = (0.02 * f * np.array([1.0, 0.0, 0.0], np.float32)).reshape(1, 3)
+        # as in real ZJU captures, and exercises the world->pose transform.
+        # Translation is a BOUNDED orbit (a linear drift walked the body out
+        # of every camera's frustum beyond ~35 frames — real captures keep
+        # the subject in view for all ~100 frames)
+        Th = np.array([0.15 * np.sin(0.4 * f),
+                       0.05 * np.sin(0.23 * f),
+                       0.15 * np.cos(0.4 * f) - 0.15],
+                      np.float32).reshape(1, 3)
         Rh = np.array([[0.0, 0.9 * f, 0.0]], np.float32)
         Rw, _ = cv2.Rodrigues(Rh.astype(np.float64))
         wxyz = (verts0 @ Rw.T.astype(np.float32)) + Th
