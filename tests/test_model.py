@@ -196,6 +196,13 @@ def test_bf16_grid_compute(scene, view):
                           np.float32).astype(np.float32)
         np.testing.assert_allclose(
             got, np.asarray(jnp.asarray(want, jnp.bfloat16), np.float32))
+    # the deformer tables are NOT shadowed: they stay f32 (tiny tables are
+    # row-latency bound; the bf16 gather only bought a standalone
+    # full-stream convert — docs/PERF.md round 4)
+    assert "deformer_embed" not in state.grid_bf16
+    eff = inb.with_grid_shadow(state.params, state.grid_bf16)
+    for leaf in jax.tree.leaves(eff["deformer"]["embed"]):
+        assert leaf.dtype == jnp.float32
 
 
 def test_aggr_modes(scene, view):
