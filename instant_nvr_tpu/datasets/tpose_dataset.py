@@ -195,8 +195,17 @@ class TPoseDataset:
         self._prune_world: Dict = {}    # frame id -> warped world points
 
         # decoded-image cache: items are revisited ~ep_iter/len(ds) times per
-        # epoch and SCHP palette decode + undistort dominate item latency
-        self._img_cache: Dict = {}
+        # epoch and SCHP palette decode + undistort dominate item latency.
+        # Byte-budgeted LRU: the old insert-only count cap left stage-0
+        # ratio entries pinned forever, so at reference scale (400 items,
+        # two ratios) later epochs missed ~always (round-4 rehearsal:
+        # 0.1-0.5 s data waits through epoch 5).
+        import threading
+        from collections import OrderedDict
+        self._img_cache: "OrderedDict" = OrderedDict()
+        self._img_cache_bytes = 0
+        self._img_lock = threading.Lock()   # N producer threads share us
+        self.cache_bytes = int(cfg.get("dataset_cache_bytes", 8 << 30))
         self.cache_items = int(cfg.get("dataset_cache_items", 200))
 
     # -- per-frame SMPL ----------------------------------------------------
@@ -431,8 +440,12 @@ class TPoseDataset:
 
         cam_ind = self.cam_inds[index]
         cache_key = (index, ratio)
-        if cache_key in self._img_cache:
-            img, msk, orig_msk, sem_masks, K, H, W = self._img_cache[cache_key]
+        with self._img_lock:
+            cached = self._img_cache.get(cache_key)
+            if cached is not None:
+                self._img_cache.move_to_end(cache_key)
+        if cached is not None:
+            img, msk, orig_msk, sem_masks, K, H, W = cached
             img = img.copy()  # sampling mutates (mask_bkgd zeroing)
         else:
             img = np.asarray(imageio.imread(
@@ -459,9 +472,20 @@ class TPoseDataset:
                 img[msk == 0] = 0
             K = K.copy()
             K[:2] *= ratio
-            if len(self._img_cache) < self.cache_items:
-                self._img_cache[cache_key] = (img.copy(), msk, orig_msk,
-                                              sem_masks, K, H, W)
+            entry = (img.copy(), msk, orig_msk, sem_masks, K, H, W)
+            nbytes = (entry[0].nbytes + msk.nbytes + orig_msk.nbytes
+                      + K.nbytes + sum(v.nbytes for v in sem_masks.values()))
+            with self._img_lock:
+                if nbytes <= self.cache_bytes \
+                        and cache_key not in self._img_cache:
+                    self._img_cache[cache_key] = entry
+                    self._img_cache_bytes += nbytes
+                    while self._img_cache_bytes > self.cache_bytes:
+                        _, old = self._img_cache.popitem(last=False)
+                        self._img_cache_bytes -= (
+                            old[0].nbytes + old[1].nbytes + old[2].nbytes
+                            + old[4].nbytes
+                            + sum(v.nbytes for v in old[3].values()))
 
         Rc = np.array(self.cams["R"][cam_ind])
         Tc = np.array(self.cams["T"][cam_ind]) / 1000.0

@@ -61,14 +61,23 @@ def make_chunked_renderer(mspec: inb.ModelSpec, rspec: RenderSpec,
 
 def render_full_image(render_fn, params, item: Dict[str, np.ndarray],
                       meta_keys, chunk: int) -> Dict[str, np.ndarray]:
-    """Pad host rays to a chunk multiple, render, unpad."""
+    """Pad host rays to a power-of-two chunk count, render, unpad.
+
+    The ray count (mask_at_box hits) differs per frame; padding to the
+    exact next chunk multiple gave every frame its own jit program — at
+    ~40 s per remote compile that, not render compute, dominated eval
+    wall-clock (round-4 rehearsal: ~74 s/frame).  Power-of-two chunk-count
+    buckets mean a whole eval shares 1-2 programs for <=2x padded compute
+    on the worst frame.  Padding wraps the real rays (not edge-dup): a
+    chunk of 4096 copies of one ray concentrates all samples in one part
+    and would spuriously inflate the overflow telemetry that sizes eval
+    budgets.
+    """
     n = item["ray_o"].shape[0]
-    pad = (-n) % chunk
-    rays = {}
-    for k in RAY_KEYS:
-        v = np.asarray(item[k])
-        widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
-        rays[k] = jnp.asarray(np.pad(v, widths, mode="edge"))
+    nc = max(1, -(-n // chunk))
+    npad = (1 << (nc - 1).bit_length()) * chunk
+    idx = np.arange(npad) % n
+    rays = {k: jnp.asarray(np.asarray(item[k])[idx]) for k in RAY_KEYS}
     meta = {k: jnp.asarray(item[k]) for k in meta_keys if k in item}
     out = render_fn(params, rays, meta)
     return {k: np.asarray(v)[:n] if k in MAP_KEYS else np.asarray(v)
@@ -94,6 +103,22 @@ def raise_budgets(mspec: inb.ModelSpec, cull_need: float, part_need,
                           part_budget_scales=scales)
 
 
+def merge_budgets(mspec: inb.ModelSpec, cull_frac: float, part_frac: float,
+                  scales) -> inb.ModelSpec:
+    """Elementwise-max merge of stored eval budgets into ``mspec``
+    (same never-lower semantics as raise_budgets, but the stored values
+    are final budget fractions, not telemetry needs)."""
+    old_t = np.array([min(mspec.part_frac * s, 1.0)
+                      for s in mspec.part_budget_scales])
+    new_t = np.array([min(float(part_frac) * float(s), 1.0) for s in scales])
+    t = np.maximum(old_t, new_t)
+    pf = float(t.max())
+    return mspec._replace(
+        cull_frac=min(1.0, max(mspec.cull_frac, float(cull_frac))),
+        part_frac=pf,
+        part_budget_scales=tuple(float(x) for x in t / max(pf, 1e-9)))
+
+
 class AutoBudgetRenderer:
     """Full-image renderer with a no-dropped-samples guarantee.
 
@@ -104,15 +129,49 @@ class AutoBudgetRenderer:
     every image, and on any overflow raises the budgets to the measured
     demand (one re-jit) and re-renders — so eval metrics are invariant to
     the training budget config (tested: tests/test_eval_overflow.py).
+
+    Raised budgets are persisted to ``persist_path`` (eval_budgets.json in
+    the model dir) so later evals/vis runs start already-raised — the
+    round-4 rehearsal paid a re-render + re-jit on the first frame of
+    EVERY eval because each run re-discovered the same raise.
     """
 
     def __init__(self, mspec: inb.ModelSpec, rspec: RenderSpec, chunk: int,
-                 max_raises: int = 4):
+                 max_raises: int = 4, persist_path: Optional[str] = None):
+        self.persist_path = persist_path
+        if persist_path:
+            import json
+            import os
+            if os.path.exists(persist_path):
+                with open(persist_path) as f:
+                    saved = json.load(f)
+                mspec = merge_budgets(mspec, saved["cull_frac"],
+                                      saved["part_frac"], saved["scales"])
+                print(f"eval: loaded raised budgets from {persist_path} "
+                      f"(cull_frac={mspec.cull_frac:.3f} "
+                      f"part_frac={mspec.part_frac:.3f})")
         self.mspec = mspec
         self.rspec = rspec
         self.chunk = chunk
         self.max_raises = max_raises
         self.render_fn = make_chunked_renderer(mspec, rspec, chunk)
+
+    def _save(self) -> None:
+        if not self.persist_path:
+            return
+        try:
+            rank0 = jax.process_index() == 0
+        except Exception:
+            rank0 = True
+        if not rank0:
+            return
+        import json
+        import os
+        os.makedirs(os.path.dirname(self.persist_path), exist_ok=True)
+        with open(self.persist_path, "w") as f:
+            json.dump({"cull_frac": self.mspec.cull_frac,
+                       "part_frac": self.mspec.part_frac,
+                       "scales": list(self.mspec.part_budget_scales)}, f)
 
     def __call__(self, params, item: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         out = render_full_image(self.render_fn, params, item, META_KEYS,
@@ -122,6 +181,7 @@ class AutoBudgetRenderer:
                 return out
             self.mspec = raise_budgets(self.mspec, out["cull_need"],
                                        out["part_need"])
+            self._save()
             print(f"eval: budget overflow (cull {float(out['cull_overflow']):.4f}, "
                   f"part {float(out['part_overflow']):.4f}) -> raised to "
                   f"cull_frac={self.mspec.cull_frac:.3f} "
@@ -157,8 +217,11 @@ def evaluate_dataset(cfg, mspec, rspec, params, split: str = "test",
     indices = shard_indices(indices, jax.process_index(), jax.process_count(),
                             pad=False)
 
+    import os
     chunk = cfg.render_chunk
-    renderer = AutoBudgetRenderer(mspec, rspec, chunk)
+    renderer = AutoBudgetRenderer(
+        mspec, rspec, chunk,
+        persist_path=os.path.join(cfg.trained_model_dir, "eval_budgets.json"))
     evaluator = Evaluator(result_dir=cfg.result_dir,
                           lpips_weights=cfg.get("lpips_weights", ""),
                           save_images=save_images,
@@ -166,14 +229,21 @@ def evaluate_dataset(cfg, mspec, rspec, params, split: str = "test",
                           partnames=list(mspec.partnames),
                           test_full=cfg.get("test_full", True))
 
+    import time
     for idx in indices:
+        t0 = time.time()
         item = ds.get_item(idx)
-        out = renderer(params, item)
+        t1 = time.time()
+        out = renderer(params, item)   # returns host arrays (fetch included)
+        t2 = time.time()
         evaluator.evaluate(out["rgb_map"], item["rgb"], item["mask_at_box"],
                            int(item["H"]), int(item["W"]),
                            frame_index=int(item["frame_index"]),
                            view_index=int(item["cam_ind"]),
                            sem_mask=item.get("sem_mask"), epoch=epoch)
+        print(f"eval item {idx} ({item['ray_o'].shape[0]} rays): "
+              f"data {t1 - t0:.2f}s  render {t2 - t1:.2f}s  "
+              f"metrics {time.time() - t2:.2f}s", flush=True)
     if jax.process_count() > 1:
         _allgather_metrics(evaluator, n_total)
         if jax.process_index() != 0:

@@ -109,7 +109,9 @@ def render_novel_views(cfg, mspec, params, n_views: Optional[int] = None,
 
     rspec = make_render_spec(cfg)
     chunk = cfg.render_chunk
-    renderer = AutoBudgetRenderer(mspec, rspec, chunk)
+    renderer = AutoBudgetRenderer(
+        mspec, rspec, chunk,
+        persist_path=os.path.join(cfg.trained_model_dir, "eval_budgets.json"))
 
     out_dir = os.path.join(cfg.result_dir, "novel_views")
     os.makedirs(out_dir, exist_ok=True)

@@ -136,9 +136,10 @@ def train(cfg: Config, resume: bool = True,
         # fresh run: drop budgets persisted by a previous training (the
         # reference's resume=False likewise wipes the model dir)
         import os
-        bpath = os.path.join(cfg.trained_model_dir, "budgets.json")
-        if jax.process_index() == 0 and os.path.exists(bpath):
-            os.remove(bpath)
+        for name in ("budgets.json", "eval_budgets.json"):
+            bpath = os.path.join(cfg.trained_model_dir, name)
+            if jax.process_index() == 0 and os.path.exists(bpath):
+                os.remove(bpath)
     cfg = apply_auto_budget(cfg)
     mspec = inb.build_model_spec(cfg)
     rspec = make_render_spec(cfg)

@@ -130,3 +130,38 @@ def test_novel_pose_split(cfg):
     assert ds_novel._frame_id(0) == ds_train._frame_id(0) + 1
     item = ds_novel.get_item(0)
     assert int(item["latent_index"]) == 0  # clamped to last trained code
+
+
+def test_img_cache_lru_eviction(cfg):
+    """Byte-budgeted LRU: stale-ratio entries age out instead of pinning
+    the cache (the old insert-only cap left stage-0 ratio entries resident
+    forever — round-4 rehearsal data waits).  Ratios chosen to resize to
+    the same H,W so every entry has the same byte size."""
+    ds = TPoseDataset(cfg, "train")
+    rng = np.random.default_rng(0)
+    ds.get_item(0, ratio=0.5, rng=rng)
+    one = ds._img_cache_bytes
+    assert one > 0
+    # budget for ~2 same-size entries
+    ds.cache_bytes = int(2.5 * one)
+    ds.get_item(1, ratio=0.5, rng=rng)
+    ds.get_item(0, ratio=0.51, rng=rng)     # 3rd entry -> evicts oldest
+    keys = list(ds._img_cache.keys())
+    assert (0, 0.5) not in keys             # LRU victim
+    assert (1, 0.5) in keys and (0, 0.51) in keys
+    assert ds._img_cache_bytes <= ds.cache_bytes
+    # hits refresh recency: touch (1, 0.5) then insert -> (0, 0.51) evicted
+    ds.get_item(1, ratio=0.5, rng=rng)
+    ds.get_item(1, ratio=0.52, rng=rng)
+    keys = list(ds._img_cache.keys())
+    assert (1, 0.5) in keys and (0, 0.51) not in keys
+    # an entry bigger than the whole budget is skipped, not inserted
+    ds.get_item(0, ratio=1.0, rng=rng)
+    assert (0, 1.0) not in ds._img_cache
+    assert ds._img_cache_bytes <= ds.cache_bytes
+    # cached item replays identically to a cold decode
+    rng_a, rng_b = np.random.default_rng(7), np.random.default_rng(7)
+    a = ds.get_item(1, ratio=0.5, rng=rng_a)
+    ds._img_cache.clear(); ds._img_cache_bytes = 0
+    b = ds.get_item(1, ratio=0.5, rng=rng_b)
+    np.testing.assert_allclose(a["rgb"], b["rgb"], atol=1e-7)

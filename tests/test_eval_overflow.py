@@ -79,3 +79,44 @@ def test_eval_invariant_to_training_budgets():
     assert renderer.mspec is mspec_after
     np.testing.assert_allclose(out2["rgb_map"], ref["rgb_map"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_eval_budget_persistence(tmp_path):
+    """Raised budgets persist to eval_budgets.json; a fresh renderer loads
+    them and renders overflow-free on the FIRST pass (no re-render/re-jit —
+    the round-4 rehearsal paid one per eval run without this)."""
+    scene = synthetic.make_scene(n_verts=400, grid=16)
+    view = synthetic.render_gt(scene, H=32, W=32)
+    item = synthetic.make_batch(scene, view, n_rays=256, split="test")
+    rspec = RenderSpec(n_samples=8, perturb=False)
+    starved = tiny_spec(cull_frac=0.02, part_frac=0.05,
+                        part_budget_scales=(1.0, 0.1, 0.1, 0.1, 0.1))
+    params = inb.init_params(jax.random.key(0), starved)
+    path = str(tmp_path / "eval_budgets.json")
+
+    r1 = AutoBudgetRenderer(starved, rspec, chunk=64, persist_path=path)
+    out1 = r1(params, item)
+    assert r1.mspec.cull_frac > starved.cull_frac
+    import os
+    assert os.path.exists(path)
+
+    # fresh renderer from the SAME starved spec: starts already-raised
+    r2 = AutoBudgetRenderer(starved, rspec, chunk=64, persist_path=path)
+    assert r2.mspec.cull_frac == r1.mspec.cull_frac
+    np.testing.assert_allclose(
+        [r2.mspec.part_frac * s for s in r2.mspec.part_budget_scales],
+        [r1.mspec.part_frac * s for s in r1.mspec.part_budget_scales],
+        rtol=1e-9)
+    spec_before = r2.mspec
+    out2 = r2(params, item)
+    assert r2.mspec is spec_before          # no raise happened
+    np.testing.assert_allclose(out2["rgb_map"], out1["rgb_map"],
+                               rtol=1e-4, atol=1e-5)
+
+    # merge never lowers: a generous spec is untouched by a stingier file
+    generous = tiny_spec(cull_frac=1.0, part_frac=1.0,
+                         part_budget_scales=(1.0,) * 5)
+    r3 = AutoBudgetRenderer(generous, rspec, chunk=64, persist_path=path)
+    assert r3.mspec.cull_frac == 1.0
+    assert max(r3.mspec.part_frac * s
+               for s in r3.mspec.part_budget_scales) == 1.0
