@@ -35,7 +35,14 @@ def _knn_kernel(length_ref, q_ref, verts_ref, out_d_ref, out_i_ref, *,
     q = q_ref[:]                               # (TQ, 3)
     length = length_ref[part]
 
-    n_tiles = M // TV
+    # dynamic trip count: only tiles that hold real verts.  Parts are
+    # padded to a common M (real subjects: body ~4.6k verts, hands/face a
+    # few hundred, absent parts 0) — the static M//TV bound scanned 3.3x
+    # more tiles than exist on the round-4 reference-scale fixture, and
+    # KNN was 35% of eval render time.  Empty parts run 0 tiles; their
+    # outputs stay at the FAR init, which callers already treat as
+    # "no neighbor" (part_dist >= smpl_thresh).
+    n_tiles = jnp.minimum((length + TV - 1) // TV, M // TV)
 
     def body(t, carry):
         best_d, best_i = carry                 # (TQ, K), (TQ, K)
