@@ -22,8 +22,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cfg_file", default="configs/inb/inb_fake_big.yaml")
-    p.add_argument("--trace", default="/tmp/eval_trace")
+    p.add_argument("--trace", default="/tmp/eval_trace",
+                   help="trace dir; pass '' to skip tracing")
     p.add_argument("--item", type=int, default=0)
+    p.add_argument("--repeats", type=int, default=1,
+                   help="untraced timed renders before the traced one")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args()
 
@@ -52,13 +55,21 @@ def main():
     out = renderer(params, item)            # compile + budget settle
     print(f"warmup done (rgb mean {float(out['rgb_map'].mean()):.4f})")
 
-    t0 = time.time()
-    with jax.profiler.trace(args.trace):
-        out = renderer(params, item)        # AutoBudgetRenderer fetches
-    dt = time.time() - t0
     n = item["ray_o"].shape[0]
-    print(f"warm render: {dt:.2f}s for {n} rays "
-          f"({n / dt:.0f} rays/s) -> trace at {args.trace}")
+    for i in range(args.repeats):
+        t0 = time.time()
+        out = renderer(params, item)        # AutoBudgetRenderer fetches
+        dt = time.time() - t0
+        print(f"warm render (untraced): {dt:.2f}s for {n} rays "
+              f"({n / dt:.0f} rays/s)")
+
+    if args.trace:
+        t0 = time.time()
+        with jax.profiler.trace(args.trace):
+            out = renderer(params, item)
+        dt = time.time() - t0
+        print(f"warm render (traced): {dt:.2f}s for {n} rays "
+              f"({n / dt:.0f} rays/s) -> trace at {args.trace}")
 
 
 if __name__ == "__main__":
