@@ -46,6 +46,11 @@ _DEFAULTS = dict(
     random_bg=False,
     chunk=4096,
     render_chunk=4096,
+    # eval-only chunk override (-1 = use render_chunk).  Fatter eval chunks
+    # amortize the per-lax.map-iteration fixed costs (KNN, sorts, selection)
+    # over more rays; budgets are per-chunk fractions so HBM intermediates
+    # scale with this knob — raise it only as far as the device allows.
+    eval_render_chunk=-1,
     # -- TPU static-shape budgets (new in this rebuild) -------------------
     # fraction of ray-samples kept by the fixed-budget SMPL-distance cull
     # (replaces the reference's data-dependent nonzero gather,

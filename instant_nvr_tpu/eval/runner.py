@@ -24,6 +24,16 @@ from .evaluator import Evaluator
 RAY_KEYS = ("ray_o", "ray_d", "near", "far")
 
 
+def eval_chunk(cfg) -> int:
+    """Eval-time ray chunk: ``eval_render_chunk`` when set, else
+    ``render_chunk`` (the reference uses one 4096 chunk for both,
+    ``lib/config/config.py:29,281``; eval is forward-only so the device
+    can usually afford a fatter chunk — fewer lax.map iterations paying
+    the per-chunk KNN/sort/selection fixed costs)."""
+    c = int(cfg.get("eval_render_chunk", -1))
+    return c if c > 0 else int(cfg.render_chunk)
+
+
 MAP_KEYS = ("rgb_map", "acc_map")
 TELEMETRY_KEYS = ("cull_overflow", "part_overflow", "cull_need", "part_need")
 
@@ -218,7 +228,7 @@ def evaluate_dataset(cfg, mspec, rspec, params, split: str = "test",
                             pad=False)
 
     import os
-    chunk = cfg.render_chunk
+    chunk = eval_chunk(cfg)
     renderer = AutoBudgetRenderer(
         mspec, rspec, chunk,
         persist_path=os.path.join(cfg.trained_model_dir, "eval_budgets.json"))

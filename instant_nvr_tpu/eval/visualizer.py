@@ -108,7 +108,8 @@ def render_novel_views(cfg, mspec, params, n_views: Optional[int] = None,
     cams = gen_path_from_cams(Rs, Ts, center, n_views)
 
     rspec = make_render_spec(cfg)
-    chunk = cfg.render_chunk
+    from .runner import eval_chunk
+    chunk = eval_chunk(cfg)
     renderer = AutoBudgetRenderer(
         mspec, rspec, chunk,
         persist_path=os.path.join(cfg.trained_model_dir, "eval_budgets.json"))

@@ -120,3 +120,33 @@ def test_eval_budget_persistence(tmp_path):
     assert r3.mspec.cull_frac == 1.0
     assert max(r3.mspec.part_frac * s
                for s in r3.mspec.part_budget_scales) == 1.0
+
+
+def test_eval_image_invariant_to_chunk_size():
+    """The eval_render_chunk knob must not change pixels: a fatter chunk
+    only pools the per-chunk fixed costs (and, with per-chunk fractional
+    budgets, the selection pool) — with overflow-free budgets the rendered
+    image is chunk-invariant."""
+    scene = synthetic.make_scene(n_verts=400, grid=16)
+    view = synthetic.render_gt(scene, H=32, W=32)
+    item = synthetic.make_batch(scene, view, n_rays=256, split="test")
+    rspec = RenderSpec(n_samples=8, perturb=False)
+    generous = tiny_spec(cull_frac=1.0, part_frac=1.0,
+                         part_budget_scales=(1.0,) * 5)
+    params = inb.init_params(jax.random.key(0), generous)
+
+    ref = AutoBudgetRenderer(generous, rspec, chunk=32)(params, item)
+    fat = AutoBudgetRenderer(generous, rspec, chunk=128)(params, item)
+    np.testing.assert_allclose(fat["rgb_map"], ref["rgb_map"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(fat["acc_map"], ref["acc_map"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_eval_chunk_knob():
+    from instant_nvr_tpu.config.defaults import default_config
+    from instant_nvr_tpu.eval.runner import eval_chunk
+    cfg = default_config()
+    assert eval_chunk(cfg) == cfg.render_chunk
+    cfg2 = cfg.merged({"eval_render_chunk": 16384})
+    assert eval_chunk(cfg2) == 16384
