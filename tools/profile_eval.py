@@ -34,7 +34,7 @@ def main():
 
     from instant_nvr_tpu.config import make_cfg
     from instant_nvr_tpu.datasets.tpose_dataset import TPoseDataset
-    from instant_nvr_tpu.eval.runner import AutoBudgetRenderer
+    from instant_nvr_tpu.eval.runner import AutoBudgetRenderer, eval_chunk
     from instant_nvr_tpu.models import inb
     from instant_nvr_tpu.renderer.inb_renderer import make_render_spec
     from instant_nvr_tpu.train.checkpoint import load_weights
@@ -48,7 +48,7 @@ def main():
     ds = TPoseDataset(cfg, "test")
     item = ds.get_item(args.item)
     renderer = AutoBudgetRenderer(
-        mspec, make_render_spec(cfg), cfg.render_chunk,
+        mspec, make_render_spec(cfg), eval_chunk(cfg),
         persist_path=os.path.join(cfg.trained_model_dir,
                                   "eval_budgets.json"))
 
