@@ -1,7 +1,8 @@
-from .config import Config, load_yaml_config, finalize
+from .config import Config, dump_cfg, load_yaml_config, finalize
 from .defaults import default_config
 
-__all__ = ["Config", "load_yaml_config", "finalize", "default_config", "make_cfg"]
+__all__ = ["Config", "dump_cfg", "load_yaml_config", "finalize",
+           "default_config", "make_cfg"]
 
 
 def make_cfg(cfg_file: str, opts=None):

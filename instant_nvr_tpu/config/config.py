@@ -243,3 +243,34 @@ def finalize(cfg: Config) -> Config:
         updates["trained_model_dir"] = os.path.join(result_dir, "trained_model")
     updates["record_dir"] = os.path.join(result_dir, "record")
     return cfg.replace(**updates)
+
+
+def dump_cfg(cfg: Config, result_dir: str) -> None:
+    """Snapshot the merged config into the result dir at train start.
+
+    Reference ``lib/utils/base_utils.py:22-30`` (dump_cfg) called from
+    ``train_net.py:80-82``: writes ``config.yaml`` once (never overwrites a
+    previous run's snapshot — continuing an experiment keeps its original
+    record) plus a timestamped copy per invocation, so every run that
+    touched the experiment is reproducible from its result dir.
+    """
+    import datetime
+
+    def clean(v):
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [clean(x) for x in v]
+        if hasattr(v, "item") and getattr(v, "ndim", 1) == 0:
+            return v.item()          # numpy scalars
+        return v
+
+    os.makedirs(result_dir, exist_ok=True)
+    text = yaml.safe_dump(clean(cfg.to_dict()), sort_keys=True)
+    main_path = os.path.join(result_dir, "config.yaml")
+    if not os.path.exists(main_path):
+        with open(main_path, "w") as f:
+            f.write(text)
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    with open(os.path.join(result_dir, f"{stamp}.yaml"), "w") as f:
+        f.write(text)

@@ -141,6 +141,10 @@ def train(cfg: Config, resume: bool = True,
             if jax.process_index() == 0 and os.path.exists(bpath):
                 os.remove(bpath)
     cfg = apply_auto_budget(cfg)
+    if jax.process_index() == 0:
+        # reproducibility snapshot (reference train_net.py:80-82)
+        from ..config import dump_cfg
+        dump_cfg(cfg, cfg.result_dir)
     mspec = inb.build_model_spec(cfg)
     rspec = make_render_spec(cfg)
     lw = make_loss_weights(cfg)

@@ -44,6 +44,12 @@ def test_train_loop_and_resume(cfg):
     state = train(cfg, resume=False)
     assert int(state.step) == 8  # 2 epochs x 4 iters
     assert os.path.isdir(os.path.join(cfg.trained_model_dir, "latest"))
+    # config snapshot dumped at train start (reference train_net.py:80-82)
+    snap = os.path.join(cfg.result_dir, "config.yaml")
+    assert os.path.exists(snap)
+    import yaml
+    loaded = yaml.safe_load(open(snap))
+    assert loaded["ep_iter"] == 4 and loaded["N_rand"] == 128
     # resume: epochs already done -> returns immediately with restored state
     state2 = train(cfg, resume=True)
     assert int(state2.step) == 8

@@ -1,7 +1,7 @@
-"""Launch the REAL 2-process jax.distributed job (tools/multiprocess_check).
+"""Launch the REAL 4-process jax.distributed job (tools/multiprocess_check).
 
 Round-2 verdict weak #4: the multi-process branches had only ever run
-monkeypatched.  This spawns two actual processes over a localhost
+monkeypatched.  This spawns four actual processes over a localhost
 coordinator and asserts the sharded train step and merged eval metrics
 match single-process results (assertions live in the orchestrator).
 """
@@ -12,9 +12,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_two_process_train_and_eval_metrics():
+def test_four_process_train_and_eval_metrics():
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "multiprocess_check.py")],
+        [sys.executable, os.path.join(REPO, "tools", "multiprocess_check.py"), "4"],
         cwd=REPO, capture_output=True, text=True, timeout=540)
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "OK 2-process loss=" in proc.stdout
+    assert "OK 4-process loss=" in proc.stdout

@@ -4,9 +4,10 @@ The reference exercises its DDP path by actually launching N processes
 (``/root/reference/train_net.py:211-216``); until round 3 this repo's
 multi-process branches (``parallel/mesh.py put_global``, the eval metric
 allgather) had only run under a monkeypatched single process.  This script
-launches TWO real jax processes (``jax.distributed.initialize`` over a
-localhost coordinator, 4 virtual CPU devices each -> one 8-device global
-mesh) and drives the REAL training/eval helpers through them:
+launches N real jax processes (``jax.distributed.initialize`` over a
+localhost coordinator, 8/N virtual CPU devices each -> one 8-device global
+mesh; N defaults to 2, the test suite runs 4) and drives the REAL
+training/eval helpers through them:
 
   - ``shard_batch``/``put_global`` multi-process slicing + assembly
   - one jitted ``make_train_step`` over the global mesh (grad all-reduce
@@ -14,10 +15,10 @@ mesh) and drives the REAL training/eval helpers through them:
   - ``eval.runner._allgather_metrics`` + rank-0 ``summarize`` writing ONE
     metrics.npy covering both processes' item shards
 
-and asserts the 2-process loss matches a single-process 8-device run.
+and asserts the N-process loss matches a single-process 8-device run.
 
-Usage:  python tools/multiprocess_check.py            (orchestrator)
-        python tools/multiprocess_check.py worker I PORT TMPDIR
+Usage:  python tools/multiprocess_check.py [N]        (orchestrator, N=2)
+        python tools/multiprocess_check.py worker I PORT TMPDIR NPROCS
         python tools/multiprocess_check.py single
 """
 from __future__ import annotations
@@ -56,11 +57,12 @@ def _spec():
         grid_compute_dtype="float32")
 
 
-def _run(mode: str, pid: int = 0, port: int = 0, tmpdir: str = "") -> None:
+def _run(mode: str, pid: int = 0, port: int = 0, tmpdir: str = "",
+         nprocs: int = 2) -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
     if mode == "worker":
-        jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+        jax.distributed.initialize(f"localhost:{port}", num_processes=nprocs,
                                    process_id=pid)
     import numpy as np
     import optax
@@ -143,8 +145,9 @@ def _run(mode: str, pid: int = 0, port: int = 0, tmpdir: str = "") -> None:
         jax.experimental.multihost_utils.sync_global_devices("done")
 
 
-def _orchestrate() -> int:
+def _orchestrate(nprocs: int = 2) -> int:
     import tempfile
+    assert 8 % nprocs == 0, "nprocs must divide the 8-device mesh"
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -161,9 +164,10 @@ def _orchestrate() -> int:
         [sys.executable, __file__, "single"], env=env(8), cwd=REPO,
         stdout=subprocess.PIPE, text=True)
     workers = [subprocess.Popen(
-        [sys.executable, __file__, "worker", str(i), str(port), tmpdir],
-        env=env(4), cwd=REPO, stdout=subprocess.PIPE, text=True)
-        for i in range(2)]
+        [sys.executable, __file__, "worker", str(i), str(port), tmpdir,
+         str(nprocs)],
+        env=env(8 // nprocs), cwd=REPO, stdout=subprocess.PIPE, text=True)
+        for i in range(nprocs)]
 
     outs = []
     try:
@@ -189,20 +193,24 @@ def _orchestrate() -> int:
         raise AssertionError(f"{key} missing in: {out!r}")
 
     losses = [float(grab(o, "LOSS")) for o in outs]
-    assert grab(outs[1], "PROCS") == "2" and grab(outs[2], "PROCS") == "2", \
-        "workers did not form a 2-process job"
-    assert abs(losses[1] - losses[2]) < 1e-7, "worker losses disagree"
+    for o in outs[1:]:
+        assert grab(o, "PROCS") == str(nprocs), \
+            f"workers did not form a {nprocs}-process job"
+    for lw in losses[2:]:
+        assert abs(losses[1] - lw) < 1e-7, "worker losses disagree"
     assert abs(losses[0] - losses[1]) < 2e-4 * max(1.0, abs(losses[0])), \
-        f"2-process loss {losses[1]} != single-process loss {losses[0]}"
-    n = int(grab(outs[1] if "METRICS" in outs[1] else outs[2], "METRICS"))
+        f"{nprocs}-process loss {losses[1]} != single-process {losses[0]}"
+    metrics_out = next(o for o in outs[1:] if "METRICS" in o)
+    n = int(grab(metrics_out, "METRICS"))
     assert n == N_ITEMS, f"merged metrics cover {n}/{N_ITEMS} items"
-    b1 = [ln for ln in outs[1].splitlines() if ln.startswith("BUDGET")]
-    b2 = [ln for ln in outs[2].splitlines() if ln.startswith("BUDGET")]
-    assert b1 and b2 and b1 == b2, \
-        f"broadcast budgets differ across processes: {b1} vs {b2}"
-    assert b1[0].split()[1] == "0.3100", f"budget broadcast wrong: {b1[0]}"
-    print(f"OK 2-process loss={losses[1]:.8f} single={losses[0]:.8f} "
-          f"metrics={n}/{N_ITEMS} budgets={b1[0].split()[1:]}")
+    budgets = [[ln for ln in o.splitlines() if ln.startswith("BUDGET")]
+               for o in outs[1:]]
+    assert all(b and b == budgets[0] for b in budgets), \
+        f"broadcast budgets differ across processes: {budgets}"
+    assert budgets[0][0].split()[1] == "0.3100", \
+        f"budget broadcast wrong: {budgets[0][0]}"
+    print(f"OK {nprocs}-process loss={losses[1]:.8f} single={losses[0]:.8f} "
+          f"metrics={n}/{N_ITEMS} budgets={budgets[0][0].split()[1:]}")
     return 0
 
 
@@ -212,6 +220,7 @@ if __name__ == "__main__":
         _run(sys.argv[1],
              pid=int(sys.argv[2]) if len(sys.argv) > 2 else 0,
              port=int(sys.argv[3]) if len(sys.argv) > 3 else 0,
-             tmpdir=sys.argv[4] if len(sys.argv) > 4 else "")
+             tmpdir=sys.argv[4] if len(sys.argv) > 4 else "",
+             nprocs=int(sys.argv[5]) if len(sys.argv) > 5 else 2)
     else:
-        sys.exit(_orchestrate())
+        sys.exit(_orchestrate(int(sys.argv[1]) if len(sys.argv) > 1 else 2))
