@@ -257,6 +257,8 @@ def dump_cfg(cfg: Config, result_dir: str) -> None:
     import datetime
 
     def clean(v):
+        if isinstance(v, Config):
+            v = v.to_dict()          # Configs nested inside lists (stages)
         if isinstance(v, dict):
             return {k: clean(x) for k, x in v.items()}
         if isinstance(v, (list, tuple)):
