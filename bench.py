@@ -1,16 +1,46 @@
 """Benchmark: fused train-step throughput on the flagship (inb_377) config.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  The primary metric is the 1,024-ray MSE step
+(baseline-comparable, tracked since round 1); the same line also carries
+``train_rays_per_sec_patch`` — the flagship's ACTUAL training mode (the
+lpips stage trains 4,096-ray 64x64 patches, reference
+``lib/train/trainers/inb_trainer.py:211-214``), so the driver records the
+number that dominates real training (VERDICT r4 next #8).
 
 Baseline (BASELINE.md): the reference trains 3,000 steps x 1,024 rays in
 ~5 minutes on one GPU ("minutes" headline, README.md:1) ->
 ~10,240 rays/sec/device including data+eval overheads.  We measure pure
 train-step throughput at the same rays/step and samples/ray.
+
+Env: BENCH_MODE=mse|patch restricts to one mode (default: both);
+BENCH_TRACE=<dir> captures a 5-step profiler trace of the MSE step.
 """
 import json
 import time
 
 BASELINE_RAYS_PER_SEC = 10240.0
+
+
+def _measure(step, state, batch, rngs, n_windows=5, n_steps=20):
+    """Median rays/s over independent timing windows (+ min/max spread).
+
+    A single window through the remote tunnel conflates device throughput
+    with transient tunnel latency (round 3 saw a 1.48x spread between two
+    single-window measurements of the same code — BASELINE.md).
+    """
+    n_rays = int(batch["ray_o"].shape[0])
+    rates = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, stats = step(state, batch, rngs[i % len(rngs)])
+        # fetch a value: forces true completion (block_until_ready alone
+        # can return early through remote-device tunnels)
+        float(stats["loss"])
+        dt = time.perf_counter() - t0
+        rates.append(n_steps * n_rays / dt)
+    rates.sort()
+    return rates, state
 
 
 def main():
@@ -25,73 +55,78 @@ def main():
     from instant_nvr_tpu.train.state import create_train_state, make_optimizer
     from instant_nvr_tpu.train.step import make_train_step
 
-    # BENCH_MODE=patch: time the flagship's ACTUAL training mode (the lpips
-    # stage trains 4,096-ray 64x64 patches, inb_trainer.py:211-214 /
-    # tpose_dataset.py:420-443) instead of the 1,024-ray MSE step.
-    patch_mode = os.environ.get("BENCH_MODE", "mse") == "patch"
+    mode = os.environ.get("BENCH_MODE", "both")
     cfg, mspec, rspec, lw, batch, batch_np = _flagship(tiny=False)
-    patch_fn = None
-    if patch_mode:
+    params = jax.jit(lambda k: inb.init_params(k, mspec))(jax.random.key(0))
+    opt, _ = make_optimizer(cfg)
+    rngs = [jax.random.key(i) for i in range(8)]
+    out = {}
+
+    if mode in ("both", "mse"):
+        state = jax.jit(lambda p: create_train_state(p, opt, mspec))(params)
+        step = jax.jit(make_train_step(mspec, rspec, lw, opt),
+                       donate_argnums=(0,))
+        for i in range(3):  # compile + warmup
+            state, stats = step(state, batch, rngs[i % 8])
+        jax.block_until_ready(stats["loss"])
+
+        trace_dir = os.environ.get("BENCH_TRACE", "")
+        if trace_dir:  # profile a 5-step window (tools/analyze_trace.py)
+            jax.profiler.start_trace(trace_dir)
+            for i in range(5):
+                state, stats = step(state, batch, rngs[i % 8])
+            float(stats["loss"])
+            jax.profiler.stop_trace()
+
+        rates, state = _measure(step, state, batch, rngs)
+        median = rates[len(rates) // 2]
+        out.update({
+            "metric": "train_rays_per_sec",
+            "value": round(median, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(median / BASELINE_RAYS_PER_SEC, 3),
+            "windows": 5, "steps_per_window": 20,
+            "min": round(rates[0], 1), "max": round(rates[-1], 1),
+        })
+        del state, step  # free the donated-state chain before the patch run
+
+    if mode in ("both", "patch"):
         from instant_nvr_tpu.datasets import synthetic
         from instant_nvr_tpu.train.loop import make_patch_loss_fn
         n = cfg.patch_size ** 2
         scene = synthetic.make_scene(n_verts=1200, grid=32)
         view = synthetic.render_gt(scene, H=128, W=128)
-        batch_np = synthetic.make_batch(scene, view, n_rays=n)
-        batch_np["ray_mask"] = np.ones(n, np.float32)
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        pbatch_np = synthetic.make_batch(scene, view, n_rays=n)
+        pbatch_np["ray_mask"] = np.ones(n, np.float32)
+        pbatch = {k: jnp.asarray(v) for k, v in pbatch_np.items()}
         patch_fn = make_patch_loss_fn(cfg)
-    params = jax.jit(lambda k: inb.init_params(k, mspec))(jax.random.key(0))
-    opt, _ = make_optimizer(cfg)
-    state = jax.jit(lambda p: create_train_state(p, opt, mspec))(params)
-    step = jax.jit(make_train_step(mspec, rspec, lw, opt, patch_fn),
-                   donate_argnums=(0,))
 
-    n_rays = int(batch["ray_o"].shape[0])
-    rngs = [jax.random.key(i) for i in range(8)]
+        pstate = jax.jit(lambda p: create_train_state(p, opt, mspec))(params)
+        pstep = jax.jit(make_train_step(mspec, rspec, lw, opt, patch_fn),
+                        donate_argnums=(0,))
+        for i in range(3):
+            pstate, pstats = pstep(pstate, pbatch, rngs[i % 8])
+        jax.block_until_ready(pstats["loss"])
+        prates, pstate = _measure(pstep, pstate, pbatch, rngs)
+        pmedian = prates[len(prates) // 2]
+        if mode == "patch":  # patch-only: patch IS the primary metric
+            out.update({
+                "metric": "train_patch_rays_per_sec",
+                "value": round(pmedian, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(pmedian / BASELINE_RAYS_PER_SEC, 3),
+                "windows": 5, "steps_per_window": 20,
+                "min": round(prates[0], 1), "max": round(prates[-1], 1),
+            })
+        else:
+            out.update({
+                "train_rays_per_sec_patch": round(pmedian, 1),
+                "patch_min": round(prates[0], 1),
+                "patch_max": round(prates[-1], 1),
+                "vs_baseline_patch": round(pmedian / BASELINE_RAYS_PER_SEC, 3),
+            })
 
-    # compile + warmup
-    for i in range(3):
-        state, stats = step(state, batch, rngs[i % 8])
-    jax.block_until_ready(stats["loss"])
-
-    trace_dir = os.environ.get("BENCH_TRACE", "")
-    if trace_dir:  # profile a 5-step window (analyze: tools/analyze_trace.py)
-        jax.profiler.start_trace(trace_dir)
-        for i in range(5):
-            state, stats = step(state, batch, rngs[i % 8])
-        float(stats["loss"])
-        jax.profiler.stop_trace()
-
-    # Median of >=5 independent timing windows with a dispersion report:
-    # a single window through the remote tunnel conflates device throughput
-    # with transient tunnel latency (round 3 saw a 1.48x spread between two
-    # single-window measurements of the same code — BASELINE.md).
-    n_windows, n_steps = 5, 20
-    rates = []
-    for w in range(n_windows):
-        t0 = time.perf_counter()
-        for i in range(n_steps):
-            state, stats = step(state, batch, rngs[i % 8])
-        # fetch a value: forces true completion (block_until_ready alone
-        # can return early through remote-device tunnels)
-        float(stats["loss"])
-        dt = time.perf_counter() - t0
-        rates.append(n_steps * n_rays / dt)
-
-    rates.sort()
-    median = rates[n_windows // 2]
-    print(json.dumps({
-        "metric": "train_patch_rays_per_sec" if patch_mode
-        else "train_rays_per_sec",
-        "value": round(median, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(median / BASELINE_RAYS_PER_SEC, 3),
-        "windows": n_windows,
-        "steps_per_window": n_steps,
-        "min": round(rates[0], 1),
-        "max": round(rates[-1], 1),
-    }))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

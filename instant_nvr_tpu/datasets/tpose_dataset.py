@@ -446,7 +446,14 @@ class TPoseDataset:
                 self._img_cache.move_to_end(cache_key)
         if cached is not None:
             img, msk, orig_msk, sem_masks, K, H, W = cached
-            img = img.copy()  # sampling mutates (mask_bkgd zeroing)
+            img = img.copy()       # sampling mutates (mask_bkgd zeroing)
+            # copy the cheap arrays too: cache entries are shared across
+            # producer threads, and erode_edge_mask / downstream code must
+            # never be able to corrupt the shared copy in place (ADVICE r4;
+            # sem_masks stays shared — read-only by construction)
+            msk = msk.copy()
+            orig_msk = orig_msk.copy()
+            K = K.copy()
         else:
             img = np.asarray(imageio.imread(
                 os.path.join(self.data_root, self.ims[index]))).astype(np.float32) / 255.0

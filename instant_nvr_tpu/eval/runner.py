@@ -150,14 +150,21 @@ class AutoBudgetRenderer:
                  max_raises: int = 4, persist_path: Optional[str] = None):
         self.persist_path = persist_path
         if persist_path:
+            import glob
             import json
             import os
-            if os.path.exists(persist_path):
-                with open(persist_path) as f:
+            # merge rank 0's file AND any per-rank sidecars: in multi-host
+            # eval every process persists its own raises (no collective in
+            # the render program to broadcast through), so no rank re-pays
+            # a raise another rank already discovered (ADVICE r4)
+            for path in sorted(glob.glob(persist_path + "*")):
+                if not os.path.exists(path):
+                    continue
+                with open(path) as f:
                     saved = json.load(f)
                 mspec = merge_budgets(mspec, saved["cull_frac"],
                                       saved["part_frac"], saved["scales"])
-                print(f"eval: loaded raised budgets from {persist_path} "
+                print(f"eval: loaded raised budgets from {path} "
                       f"(cull_frac={mspec.cull_frac:.3f} "
                       f"part_frac={mspec.part_frac:.3f})")
         self.mspec = mspec
@@ -170,15 +177,15 @@ class AutoBudgetRenderer:
         if not self.persist_path:
             return
         try:
-            rank0 = jax.process_index() == 0
+            rank = jax.process_index()
         except Exception:
-            rank0 = True
-        if not rank0:
-            return
+            rank = 0
         import json
         import os
-        os.makedirs(os.path.dirname(self.persist_path), exist_ok=True)
-        with open(self.persist_path, "w") as f:
+        path = self.persist_path if rank == 0 else \
+            f"{self.persist_path}.rank{rank}"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
             json.dump({"cull_frac": self.mspec.cull_frac,
                        "part_frac": self.mspec.part_frac,
                        "scales": list(self.mspec.part_budget_scales)}, f)

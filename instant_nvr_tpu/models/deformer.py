@@ -32,12 +32,14 @@ class DeformerSpec(NamedTuple):
 
 
 def make_deformer_spec(embed_kwargs: dict, primes,
-                       scalar_ok: bool = True) -> DeformerSpec:
+                       scalar_ok: bool = True,
+                       exact_grads: bool = False) -> DeformerSpec:
     # scalar_ok: whether the scalar-grid reparameterization is exact for
     # the optimizer config (see build_model_spec) — the deformer grid must
     # honor the same gate as the part grids.
     return DeformerSpec(embed=make_hashgrid_spec(
-        primes=primes, scalar_tables=scalar_ok, **embed_kwargs))
+        primes=primes, scalar_tables=scalar_ok, exact_grads=exact_grads,
+        **embed_kwargs))
 
 
 def deformer_init(key: jax.Array, spec: DeformerSpec) -> dict:

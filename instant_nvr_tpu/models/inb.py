@@ -104,10 +104,14 @@ def build_model_spec(cfg) -> ModelSpec:
     scalar_ok = (cfg.train.get("optim", "adam") == "adam"
                  and not cfg.train.get("weight_decay", 0.0)
                  and cfg.get("scalar_tables", True))
+    # full-precision runs must not round table gradients to bf16 in the
+    # one-hot scatter backward (ADVICE r4; ops/hashgrid._table_gather_bwd)
+    exact = cfg.get("grid_compute_dtype", "bfloat16") == "float32"
     for p in partnames:
         node = cfg.partnet[p]
         part_embeds.append(make_hashgrid_spec(primes=primes,
                                               scalar_tables=scalar_ok,
+                                              exact_grads=exact,
                                               **node.embedder.kwargs.to_dict()))
         if "color_network" in node and "kwargs" in node.color_network:
             kw = node.color_network.kwargs
@@ -115,7 +119,8 @@ def build_model_spec(cfg) -> ModelSpec:
         else:
             rgb_archs.append(default_color)
     deformer = make_deformer_spec(cfg.tpose_deformer.embedder.kwargs.to_dict(),
-                                  primes, scalar_ok=scalar_ok)
+                                  primes, scalar_ok=scalar_ok,
+                                  exact_grads=exact)
     return ModelSpec(
         partnames=partnames,
         part_embeds=tuple(part_embeds),

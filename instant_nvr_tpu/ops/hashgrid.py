@@ -85,9 +85,10 @@ def _lane_select(wide: jnp.ndarray, idx: jnp.ndarray, F: int) -> jnp.ndarray:
     return jnp.sum(jnp.where(oh[:, :, None], w3, 0), axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def table_gather(table: jnp.ndarray, idx: jnp.ndarray, n_levels: int,
-                 F: int, level_offsets: Tuple[int, ...] = None):
+                 F: int, level_offsets: Tuple[int, ...] = None,
+                 exact_grads: bool = False):
     """Logical-row gather with a kernel scatter-add backward.
 
     table: (T_rows, F) plain, or (T_rows // (128//F), 128) packed (decided
@@ -103,12 +104,13 @@ def table_gather(table: jnp.ndarray, idx: jnp.ndarray, n_levels: int,
     return table[idx]
 
 
-def _table_gather_fwd(table, idx, n_levels, F, level_offsets):
+def _table_gather_fwd(table, idx, n_levels, F, level_offsets, exact_grads):
     # the table rides along only for its shape/dtype (no copy is made)
-    return table_gather(table, idx, n_levels, F, level_offsets), (table, idx)
+    return (table_gather(table, idx, n_levels, F, level_offsets, exact_grads),
+            (table, idx))
 
 
-def _table_gather_bwd(n_levels, F, level_offsets, res, g):
+def _table_gather_bwd(n_levels, F, level_offsets, exact_grads, res, g):
     (table, idx) = res
     packed = table.shape[1] != F
     n_rows = table.shape[0] * (128 // F) if packed else table.shape[0]
@@ -119,12 +121,16 @@ def _table_gather_bwd(n_levels, F, level_offsets, res, g):
                                      n_levels=n_levels, packed_out=True)
     elif (on_accel and not packed
           and table.dtype in (jnp.bfloat16, jnp.float32)
+          and not (exact_grads and table.dtype == jnp.float32)
           and level_offsets is not None
           and onehot_scatter_profitable(n_rows, F, idx.shape[0],
                                         level_offsets)):
         # tiny table, huge record count: VMEM one-hot-matmul accumulate.
-        # f32 tables take this path too — the kernel's bf16 payload cast
-        # rounds the gradient exactly as the old bf16-gather path did
+        # f32 tables take this path too when the spec allows bf16 gradient
+        # rounding (the deformer-stays-f32-under-bf16-config case — same
+        # rounding as the old bf16-gather path).  An explicit
+        # grid_compute_dtype: float32 run sets spec.exact_grads and gets
+        # the exact XLA f32 scatter instead (ADVICE r4).
         grad = onehot_scatter_add(idx, g.astype(jnp.bfloat16), n_rows,
                                   level_offsets)
     else:
@@ -267,6 +273,10 @@ class HashGridSpec(NamedTuple):
     # store one value per row (the feature MEAN; forward uses F * q) — exact
     # for sum & sum_over_features grids, see the scalar_table_gather note
     scalar: bool = False
+    # forbid bf16 gradient rounding in the backward scatter for f32 tables
+    # (set by grid_compute_dtype: float32 configs — full-precision
+    # parity/debugging runs get the exact XLA f32 scatter, ADVICE r4)
+    exact_grads: bool = False
 
     @property
     def out_dim(self) -> int:
@@ -289,6 +299,7 @@ def make_hashgrid_spec(n_levels: int = 16, n_features_per_level: int = 16,
                        separate_dense: bool = True,
                        primes=(1, 19349663, 83492791),
                        scalar_tables: bool = True,
+                       exact_grads: bool = False,
                        **_unused) -> HashGridSpec:
     table_size = int(nextprime(2 ** log2_hashmap_size))
     entries_num = tuple(int(base_resolution * b ** i) for i in range(n_levels))
@@ -310,7 +321,8 @@ def make_hashgrid_spec(n_levels: int = 16, n_features_per_level: int = 16,
         dense_offsets=tuple(offsets), dense_total=total, sum=sum,
         sum_over_features=sum_over_features, include_input=include_input,
         primes=tuple(int(p) for p in primes),
-        scalar=bool(scalar_tables and sum and sum_over_features))
+        scalar=bool(scalar_tables and sum and sum_over_features),
+        exact_grads=bool(exact_grads))
 
 
 def hashgrid_init(key: jax.Array, spec: HashGridSpec,
@@ -392,7 +404,8 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
                                     level_offsets).reshape(n_lev, N, 8)
             return jnp.sum(w[lo:lo + n_lev] * v, axis=-1) * F  # (n_lev, N)
         v = table_gather(table, ind.reshape(-1), n_lev, F,
-                         level_offsets).reshape(n_lev, N, 8, F)
+                         level_offsets,
+                         spec.exact_grads).reshape(n_lev, N, 8, F)
         # NOTE: lerp accumulates in f32 (w's dtype).  A bf16-lerp variant
         # (wc = w.astype(table.dtype)) was measured SLOWER (-7% step
         # throughput): the weight-array converts + bf16 VPU reduces cost
@@ -513,7 +526,8 @@ def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
     def gather(table, ind, n_lev, level_offsets):
         if scalar:
             return scalar_table_gather(table, ind, n_lev, level_offsets)
-        return table_gather(table, ind, n_lev, F, level_offsets)
+        return table_gather(table, ind, n_lev, F, level_offsets,
+                            s0.exact_grads)
 
     vals, weights = [], []
     for p in range(P):

@@ -135,11 +135,12 @@ def train(cfg: Config, resume: bool = True,
     if not resume:
         # fresh run: drop budgets persisted by a previous training (the
         # reference's resume=False likewise wipes the model dir)
+        import glob
         import os
-        for name in ("budgets.json", "eval_budgets.json"):
-            bpath = os.path.join(cfg.trained_model_dir, name)
-            if jax.process_index() == 0 and os.path.exists(bpath):
-                os.remove(bpath)
+        for name in ("budgets.json", "eval_budgets.json*"):
+            for bpath in glob.glob(os.path.join(cfg.trained_model_dir, name)):
+                if jax.process_index() == 0 and os.path.exists(bpath):
+                    os.remove(bpath)
     cfg = apply_auto_budget(cfg)
     if jax.process_index() == 0:
         # reproducibility snapshot (reference train_net.py:80-82)
@@ -248,50 +249,55 @@ def train(cfg: Config, resume: bool = True,
         pf = Prefetcher(produce, range(len(indices)), depth=8,
                         device_put=stage, workers=n_workers)
         t_data = time.time()
-        for it, (item, batch) in enumerate(pf):
-            data_time = time.time() - t_data
+        try:
+            for it, (item, batch) in enumerate(pf):
+                data_time = time.time() - t_data
 
-            if profile_window is not None and steps_seen == profile_window[0]:
-                if steps_seen:  # drain in-flight work before tracing
-                    float(stats["loss"])
-                import os
-                jax.profiler.start_trace(os.path.join(cfg.record_dir, "profile"))
-                profiling = True
+                if profile_window is not None and steps_seen == profile_window[0]:
+                    if steps_seen:  # drain in-flight work before tracing
+                        float(stats["loss"])
+                    import os
+                    jax.profiler.start_trace(os.path.join(cfg.record_dir, "profile"))
+                    profiling = True
 
-            rng = jax.random.fold_in(jax.random.key(1), epoch * ep_iter + it)
-            state, stats = step_fn(state, batch, rng)
-            steps_seen += 1
+                rng = jax.random.fold_in(jax.random.key(1), epoch * ep_iter + it)
+                state, stats = step_fn(state, batch, rng)
+                steps_seen += 1
 
-            if profiling and steps_seen >= profile_window[1]:
-                float(stats["loss"])  # value fetch: block_until_ready does
-                # not wait for completion through the remote tunnel
-                jax.profiler.stop_trace()
-                profiling = False
-                print(f"profile trace captured: steps "
-                      f"[{profile_window[0]}, {profile_window[1]})")
+                if profiling and steps_seen >= profile_window[1]:
+                    float(stats["loss"])  # value fetch: block_until_ready does
+                    # not wait for completion through the remote tunnel
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profile trace captured: steps "
+                          f"[{profile_window[0]}, {profile_window[1]})")
 
-            if ecfg.get("sample_using_mse", False):
-                if ds.error_map is None:
-                    ds.init_error_map(int(item["H"]), int(item["W"]))
-                    ds.load_error_map(cfg.result_dir)
-                ds.update_error_map(item["coord"],
-                                    np.asarray(stats["ray_error"]),
-                                    item["frame_index"], item["cam_ind"])
+                if ecfg.get("sample_using_mse", False):
+                    if ds.error_map is None:
+                        ds.init_error_map(int(item["H"]), int(item["W"]))
+                        ds.load_error_map(cfg.result_dir)
+                    ds.update_error_map(item["coord"],
+                                        np.asarray(stats["ray_error"]),
+                                        item["frame_index"], item["cam_ind"])
 
-            if t_start is None:
-                jax.block_until_ready(stats["loss"])
-                t_start = time.time()
+                if t_start is None:
+                    jax.block_until_ready(stats["loss"])
+                    t_start = time.time()
 
-            recorder.step += 1
-            if (it + 1) % cfg.log_interval == 0 or it == ep_iter - 1:
-                host_stats = {k: float(v) for k, v in stats.items()
-                              if getattr(v, "ndim", 0) == 0}
-                recorder.update(host_stats)
-                batch_time = (time.time() - t_start) / max(recorder.step - 1, 1)
-                lr = float(schedule(int(state.step)))
-                print(recorder.console_line(lr, max_iter, batch_time, data_time))
-                recorder.record("train")
-            t_data = time.time()
+                recorder.step += 1
+                if (it + 1) % cfg.log_interval == 0 or it == ep_iter - 1:
+                    host_stats = {k: float(v) for k, v in stats.items()
+                                  if getattr(v, "ndim", 0) == 0}
+                    recorder.update(host_stats)
+                    batch_time = (time.time() - t_start) / max(recorder.step - 1, 1)
+                    lr = float(schedule(int(state.step)))
+                    print(recorder.console_line(lr, max_iter, batch_time, data_time))
+                    recorder.record("train")
+                t_data = time.time()
+        finally:
+            # release producer/stager threads + queued batches even on
+            # an abandoned epoch (train-step exception / interrupt)
+            pf.close()
 
         if ecfg.get("sample_using_mse", False) and ds.error_map is not None:
             import os

@@ -87,3 +87,29 @@ def test_depth_bound_respected():
     # reassembly buffer (depth) + output queue (depth) + in-flight slack
     assert len(produced) <= 4 + 4 + 4 + 1
     assert list(it) == list(range(1, 64))
+
+
+def test_close_releases_threads_after_abandoned_iteration():
+    """Abandoning iteration + close() must terminate producer/stager threads
+    (otherwise they stay blocked on q.put holding decoded batches, ADVICE
+    r4) — for both the serial and multi-worker paths."""
+    import time
+
+    for workers in (1, 4):
+        pf = Prefetcher(lambda i: i, range(256), depth=4, workers=workers)
+        it = iter(pf)
+        assert next(it) == 0  # iteration started, then abandoned
+        pf.close()
+        deadline = time.time() + 5
+        while any(t.is_alive() for t in pf._threads) and time.time() < deadline:
+            time.sleep(0.02)
+        assert not any(t.is_alive() for t in pf._threads), \
+            f"threads alive after close (workers={workers})"
+        assert pf.q.empty()
+        pf.close()  # idempotent
+
+
+def test_close_after_normal_exhaustion():
+    pf = Prefetcher(lambda i: i, range(4), workers=2)
+    assert list(pf) == [0, 1, 2, 3]
+    pf.close()
