@@ -142,8 +142,10 @@ def render_novel_views(cfg, mspec, params, n_views: Optional[int] = None,
     return frames
 
 
-def merge_into_video(frame_dir: str, out_path: str, fps: int = 24):
-    """ffmpeg merge (if_nerf_demo.py:57-66); silently skips if ffmpeg absent."""
+def merge_into_video(frame_dir: str, out_path: str, fps: int = 24) -> bool:
+    """ffmpeg merge (if_nerf_demo.py:57-66); falls back to cv2.VideoWriter
+    (mp4v) when ffmpeg is not installed, so the demo still yields an mp4.
+    Returns True when a video file was written."""
     try:
         subprocess.run(
             ["ffmpeg", "-y", "-framerate", str(fps), "-i",
@@ -151,5 +153,25 @@ def merge_into_video(frame_dir: str, out_path: str, fps: int = 24):
              "-c:v", "libx264", "-pix_fmt", "yuv420p", out_path],
             check=True, capture_output=True)
         print(f"wrote {out_path}")
+        return True
     except (FileNotFoundError, subprocess.CalledProcessError) as e:
-        print(f"ffmpeg unavailable/failed ({e}); frames left in {frame_dir}")
+        print(f"ffmpeg unavailable/failed ({e}); trying cv2.VideoWriter")
+    import cv2
+    frames = sorted(f for f in os.listdir(frame_dir)
+                    if f.startswith("frame_") and f.endswith(".png"))
+    if not frames:
+        print(f"no frames in {frame_dir}; skipping video")
+        return False
+    first = cv2.imread(os.path.join(frame_dir, frames[0]))
+    h, w = first.shape[:2]
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    if not writer.isOpened():
+        print(f"cv2.VideoWriter failed; frames left in {frame_dir}")
+        return False
+    writer.write(first)
+    for f in frames[1:]:
+        writer.write(cv2.imread(os.path.join(frame_dir, f)))
+    writer.release()
+    print(f"wrote {out_path} (cv2 mp4v)")
+    return True

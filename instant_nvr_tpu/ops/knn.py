@@ -101,8 +101,22 @@ def _aggregate(d: jnp.ndarray, idx: jnp.ndarray, part_pbw: jnp.ndarray,
 def knn_blend_weights_multiassign_pallas(query, part_pts, part_pbw, lengths,
                                          K: int = 4, radius: float = 0.075,
                                          eps: float = 1e-8,
-                                         interpret: bool = False) -> jnp.ndarray:
-    """Pallas-fused variant (see ops/pallas/knn_pallas.py)."""
+                                         interpret: bool = False,
+                                         fused: bool = True) -> jnp.ndarray:
+    """Pallas-fused variant (see ops/pallas/knn_pallas.py).
+
+    ``fused=True`` (default) runs the single kernel that also performs the
+    gaussian pbw blend via hi+lo-split MXU matmuls over vertex tiles —
+    no (P, C, K) neighbor index round-trip through HBM.  ``fused=False``
+    keeps the top-k kernel + jnp ``_aggregate`` path (exact f32 gather),
+    retained as the comparison oracle for tools/tpu_selfcheck.py.
+    """
+    if fused:
+        from .pallas.knn_pallas import knn_blend_pallas
+        out = knn_blend_pallas(query, part_pts, part_pbw, lengths, K=K,
+                               radius=radius, eps=eps,
+                               interpret=interpret)            # (P, C, D+1)
+        return jnp.swapaxes(out, 0, 1)                         # (C, P, 25)
     from .pallas.knn_pallas import knn_topk_pallas
     d2, idx = knn_topk_pallas(query, part_pts, lengths, K=K,
                               interpret=interpret)             # (P, C, K)

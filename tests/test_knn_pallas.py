@@ -66,7 +66,8 @@ def test_empty_and_heavily_padded_parts(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
 
 
-def test_full_pallas_path_matches_xla(rng):
+@pytest.mark.parametrize("fused", [False, True])
+def test_full_pallas_path_matches_xla(rng, fused):
     P, M, C = 5, 300, 256
     lengths = np.array([300, 200, 100, 150, 50], np.int32)
     part_pts = rng.normal(size=(P, M, 3)).astype(np.float32)
@@ -78,5 +79,29 @@ def test_full_pallas_path_matches_xla(rng):
         jnp.array(lengths), chunk=128))
     got = np.asarray(knn_blend_weights_multiassign_pallas(
         jnp.array(query), jnp.array(part_pts), jnp.array(part_pbw),
-        jnp.array(lengths), interpret=True))
+        jnp.array(lengths), interpret=True, fused=fused))
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_fused_blend_kernel_vs_oracle(rng):
+    """Fused KNN+blend kernel against the jnp oracle, including empty and
+    heavily padded parts (the dynamic tile bound must zero the blend for
+    parts whose tiles never run) and non-tile-aligned C."""
+    P, M, C = 5, 1100, 300
+    lengths = np.array([300, 1100, 0, 0, 17], np.int32)
+    part_pts = rng.normal(size=(P, M, 3)).astype(np.float32)
+    part_pbw = rng.uniform(size=(P, M, 24)).astype(np.float32)
+    query = rng.normal(size=(C, 3)).astype(np.float32)
+
+    ref = np.asarray(knn_blend_weights_multiassign(
+        jnp.array(query), jnp.array(part_pts), jnp.array(part_pbw),
+        jnp.array(lengths), chunk=128))
+    got = np.asarray(knn_blend_weights_multiassign_pallas(
+        jnp.array(query), jnp.array(part_pts), jnp.array(part_pbw),
+        jnp.array(lengths), interpret=True, fused=True))
+    assert got.shape == ref.shape == (C, P, 25)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+    # empty parts: zero blend, far distance
+    for p in (2, 3):
+        np.testing.assert_allclose(got[:, p, :24], 0.0, atol=1e-7)
+        np.testing.assert_allclose(got[:, p, 24], 1e6)

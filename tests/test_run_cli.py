@@ -91,3 +91,44 @@ def test_run_network_timing(trained, capsys):
     import run as run_cli
     run_cli.run_network(trained)
     assert "rays/s" in capsys.readouterr().out
+
+
+def test_run_vis_dispatch(trained):
+    """run.py --type vis renders the test split to pngs (reference
+    run_vis, run.py:108-135)."""
+    import glob
+
+    import run as run_cli
+    run_cli.run_vis(trained)
+    pngs = glob.glob(os.path.join(trained.result_dir, "**", "*.png"),
+                     recursive=True)
+    assert pngs, "run_vis produced no images"
+
+
+def test_run_bullet_and_video_merge(trained):
+    """run.py --type bullet produces orbit frames + an mp4 (reference
+    run_other('bullet') -> if_nerf_demo.Visualizer + merge_into_video)."""
+    import run as run_cli
+    bcfg = trained.merged({"render_views": 3, "render_frame": 0})
+    run_cli.run_bullet(bcfg)
+    out_dir = os.path.join(trained.result_dir, "novel_views")
+    frames = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(frames) == 3
+    mp4 = os.path.join(trained.result_dir, "novel_view.mp4")
+    assert os.path.exists(mp4) and os.path.getsize(mp4) > 0
+
+
+def test_merge_into_video_writes_mp4(tmp_path):
+    """merge_into_video works without ffmpeg (cv2 mp4v fallback)."""
+    import cv2
+
+    from instant_nvr_tpu.eval.visualizer import merge_into_video
+    d = str(tmp_path)
+    for i in range(4):
+        img = np.full((64, 64, 3), i * 40, np.uint8)
+        cv2.imwrite(os.path.join(d, f"frame_{i:04d}.png"), img)
+    out = os.path.join(d, "out.mp4")
+    assert merge_into_video(d, out, fps=8)
+    assert os.path.getsize(out) > 0
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4

@@ -32,14 +32,17 @@ def main():
     pts = jnp.asarray(rng.normal(size=(P, M, 3)).astype(np.float32))
     pbw = jnp.asarray(rng.uniform(size=(P, M, 24)).astype(np.float32))
     q = jnp.asarray(rng.normal(size=(C, 3)).astype(np.float32) * 0.5)
-    a = np.asarray(jax.jit(lambda x: knn_blend_weights_multiassign_pallas(
-        x, pts, pbw, lengths))(q))
     b = np.asarray(jax.jit(lambda x: knn_blend_weights_multiassign(
         x, pts, pbw, lengths, chunk=2048))(q))
-    agree = np.isclose(a, b, rtol=1e-3, atol=1e-4).mean()
-    print(f"[1] pallas-vs-xla KNN agreement: {agree:.4f}")
-    if agree < 0.995:
-        failures.append("pallas KNN disagrees with XLA on this hardware")
+    for fused in (False, True):
+        a = np.asarray(jax.jit(lambda x: knn_blend_weights_multiassign_pallas(
+            x, pts, pbw, lengths, fused=fused))(q))
+        agree = np.isclose(a, b, rtol=1e-3, atol=1e-4).mean()
+        tag = "fused" if fused else "topk+gather"
+        print(f"[1] pallas-vs-xla KNN agreement ({tag}): {agree:.4f}")
+        if agree < 0.995:
+            failures.append(
+                f"pallas KNN ({tag}) disagrees with XLA on this hardware")
 
     # 1b. compiled segmented scatter-add == numpy oracle (the Mosaic kernel
     #     can diverge from interpret mode on silicon)
