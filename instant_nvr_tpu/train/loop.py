@@ -289,7 +289,11 @@ def train(cfg: Config, resume: bool = True,
                     host_stats = {k: float(v) for k, v in stats.items()
                                   if getattr(v, "ndim", 0) == 0}
                     recorder.update(host_stats)
-                    batch_time = (time.time() - t_start) / max(recorder.step - 1, 1)
+                    # steps_seen, not recorder.step: the latter is restored
+                    # from the checkpoint on resume, which made the average
+                    # divide this process's elapsed time by the lifetime
+                    # step count (batch: 0.03s on a resumed 0.69s/step run)
+                    batch_time = (time.time() - t_start) / max(steps_seen - 1, 1)
                     lr = float(schedule(int(state.step)))
                     print(recorder.console_line(lr, max_iter, batch_time, data_time))
                     recorder.record("train")
