@@ -249,9 +249,14 @@ def train(cfg: Config, resume: bool = True,
         pf = Prefetcher(produce, range(len(indices)), depth=8,
                         device_put=stage, workers=n_workers)
         t_data = time.time()
+        ep_t0 = time.time()
+        ep_data_s = 0.0  # exact host-wait aggregate (the per-line `data:`
+        # is a point sample every log_interval steps — too noisy to answer
+        # "what share of the step is data-bound", VERDICT r4 next #3)
         try:
             for it, (item, batch) in enumerate(pf):
                 data_time = time.time() - t_data
+                ep_data_s += data_time
 
                 if profile_window is not None and steps_seen == profile_window[0]:
                     if steps_seen:  # drain in-flight work before tracing
@@ -302,6 +307,10 @@ def train(cfg: Config, resume: bool = True,
             # release producer/stager threads + queued batches even on
             # an abandoned epoch (train-step exception / interrupt)
             pf.close()
+
+        ep_wall = time.time() - ep_t0
+        print(f"epoch {epoch}: host data wait {ep_data_s:.1f}s of "
+              f"{ep_wall:.1f}s wall ({100.0 * ep_data_s / max(ep_wall, 1e-9):.1f}%)")
 
         if ecfg.get("sample_using_mse", False) and ds.error_map is not None:
             import os
