@@ -134,6 +134,14 @@ def load_reference():
     finally:
         os.chdir(old_cwd)
         sys.argv = old_argv
+        # demote the reference root to the END of sys.path: with it at the
+        # front, a later `import run` in the suite resolves to the
+        # REFERENCE's run.py (0-arg functions over a global cfg) instead of
+        # the repo's — the test_run_cli failures under full-suite ordering.
+        # Lazy reference imports (lib.*) still resolve from the tail.
+        while REFERENCE_ROOT in sys.path:
+            sys.path.remove(REFERENCE_ROOT)
+        sys.path.append(REFERENCE_ROOT)
 
     _cache = types.SimpleNamespace(
         torch=torch, cfg=cfg, blend_utils=blend_utils, net_utils=net_utils,

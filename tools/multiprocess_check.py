@@ -86,6 +86,20 @@ def _run(mode: str, pid: int = 0, port: int = 0, tmpdir: str = "",
     rep = pmesh.replicated(mesh)
     batch = pmesh.shard_batch(mesh, batch_np)   # multi-proc branch for real
 
+    if mode == "worker":
+        # establish the cross-process Gloo communicator NOW, via a tiny
+        # collective, while worker skew is seconds: Gloo address exchange
+        # has a hard 30 s deadline, and on the 1-core host the big step
+        # compiles (time-shared 4 ways) can skew workers past it when the
+        # first collective is the step itself
+        warm = pmesh.put_global(
+            np.arange(len(jax.devices()), dtype=np.float32),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(
+                mesh.axis_names[0])))
+        import jax.numpy as jnp
+        total = float(jax.jit(jnp.sum, out_shardings=rep)(warm))
+        assert total == sum(range(len(jax.devices()))), total
+
     opt = optax.adam(1e-3, eps=1e-15)
     params = inb.init_params(jax.random.key(0), spec)
     state = create_train_state(params, opt, spec)
@@ -156,22 +170,38 @@ def _orchestrate(nprocs: int = 2) -> int:
     def env(n_dev):
         e = dict(os.environ)
         e["JAX_PLATFORMS"] = "cpu"
-        e["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n_dev} "
-                          + e.get("XLA_FLAGS", "")).strip()
+        # drop any inherited device-count flag first: under pytest the
+        # conftest exports --xla_force_host_platform_device_count=8, and
+        # with duplicated flags the LAST wins — every worker then saw 8
+        # local devices instead of its 8/nprocs share and Gloo timed out
+        # waiting for the phantom peers
+        inherited = [f for f in e.get("XLA_FLAGS", "").split()
+                     if "xla_force_host_platform_device_count" not in f]
+        e["XLA_FLAGS"] = " ".join(
+            [f"--xla_force_host_platform_device_count={n_dev}"] + inherited)
         return e
 
+    # run the single-process reference FIRST, alone: with it racing the 4
+    # workers, 5 jax processes time-share the 1-core host and worker Gloo
+    # listeners can miss the ~30 s connect window (flaky barrier timeouts)
     single = subprocess.Popen(
         [sys.executable, __file__, "single"], env=env(8), cwd=REPO,
         stdout=subprocess.PIPE, text=True)
-    workers = [subprocess.Popen(
-        [sys.executable, __file__, "worker", str(i), str(port), tmpdir,
-         str(nprocs)],
-        env=env(8 // nprocs), cwd=REPO, stdout=subprocess.PIPE, text=True)
-        for i in range(nprocs)]
-
     outs = []
+    workers = []
     try:
-        for p in [single] + workers:
+        out, _ = single.communicate(timeout=300)
+        outs.append(out)
+        sys.stdout.write(out)
+        if single.returncode != 0:
+            print(f"FAIL rc={single.returncode}")
+            return 1
+        workers = [subprocess.Popen(
+            [sys.executable, __file__, "worker", str(i), str(port), tmpdir,
+             str(nprocs)],
+            env=env(8 // nprocs), cwd=REPO, stdout=subprocess.PIPE, text=True)
+            for i in range(nprocs)]
+        for p in workers:
             # inner timeout < the pytest-side 540 s so a hung worker is
             # killed HERE (pytest killing only the orchestrator would
             # orphan the jax.distributed children + their coordinator)
