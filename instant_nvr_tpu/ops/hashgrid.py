@@ -196,23 +196,27 @@ def _wide_row_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(oh, rows, 0), axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def scalar_table_gather(table: jnp.ndarray, idx: jnp.ndarray, n_levels: int,
-                        level_offsets: Tuple[int, ...] = None):
+                        level_offsets: Tuple[int, ...] = None,
+                        allow_rounded: bool = False):
     """1-D gather q[idx] with a kernel scatter-add backward.
 
     table: (T_rows,) scalar-per-row grid; idx: (R,) int32 logical rows,
     level-major with per-level ranges disjoint and ascending (see
-    :func:`table_gather`).
+    :func:`table_gather`).  ``allow_rounded`` (static) lets f32 tables take
+    the one-hot kernel with a bf16-rounded gradient — the small-table
+    per-feature-column path under bf16 configs, same rounding class as
+    :func:`table_gather`'s f32 routing.
     """
     return _wide_row_gather(table, idx)
 
 
-def _scalar_gather_fwd(table, idx, n_levels, level_offsets):
+def _scalar_gather_fwd(table, idx, n_levels, level_offsets, allow_rounded):
     return _wide_row_gather(table, idx), (table, idx)
 
 
-def _scalar_gather_bwd(n_levels, level_offsets, res, g):
+def _scalar_gather_bwd(n_levels, level_offsets, allow_rounded, res, g):
     (table, idx) = res
     n_rows = table.shape[0]
     on_accel = jax.default_backend() not in ("cpu",)
@@ -221,7 +225,9 @@ def _scalar_gather_bwd(n_levels, level_offsets, res, g):
         grad = segmented_scatter_add(idx, g.astype(jnp.bfloat16)[:, None],
                                      n_rows, n_levels=n_levels,
                                      packed_out=True).reshape(n_rows)
-    elif (on_accel and table.dtype == jnp.bfloat16
+    elif (on_accel
+          and (table.dtype == jnp.bfloat16
+               or (allow_rounded and table.dtype == jnp.float32))
           and level_offsets is not None
           and onehot_scatter_profitable(n_rows, 1, idx.shape[0],
                                         level_offsets)):
@@ -375,81 +381,108 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
 
     x01 = (xyz - bounds[0]) / (bounds[1] - bounds[0])  # (N, 3) normalized
 
+    # LAYOUT RULE (docs/PERF.md round 5): every record-scale array keeps N
+    # on the MINOR axis and puts the 8-corner axis in the MIDDLE — (L, 8, N)
+    # — and the xyz axes are carried as three separate (L, N)/(L, 8, N)
+    # arrays instead of a trailing dim of 3.  TPU tiles pad the minor two
+    # dims to (8, 128): trailing dims of 3/8/2 cost 42x/16x/64x physical
+    # HBM (the round-5 eval chunk-8192 OOM — a 252 MB deformer gather
+    # padded to 15.79 GB).  (L, 8, N) keeps the flattened record stream
+    # level-major, which the backward scatter kernels require (per-level
+    # windows; order WITHIN a level is free — they sort/window per level).
     entries = jnp.array(spec.entries_num, dtype=x01.dtype)  # (L,)
-    flt = x01[None, :, :] * (entries - 1.0)[:, None, None]  # (L, N, 3)
-    # truncation toward zero like torch .long() (part_base_embedder.py:116)
-    base = flt.astype(jnp.int32)  # (L, N, 3) corner000 before clipping
-    nmax = jnp.array(spec.entries_num, dtype=jnp.int32)[:, None, None]  # (L,1,1)
-
+    nmax = jnp.array(spec.entries_num, dtype=jnp.int32)[:, None]  # (L,1)
     # 8 corner offsets in the reference's bit order (z fastest)
-    corner = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
-                      axis=-1).reshape(8, 3)  # (8,3) rows: 000,001,010,011,100,...
-    corner = jnp.array(corner, dtype=jnp.int32)
+    cbits = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
+                     axis=-1).reshape(8, 3)  # rows: 000,001,010,011,100,...
 
-    idx = base[:, :, None, :] + corner[None, None, :, :]  # (L, N, 8, 3)
-    idx = jnp.clip(idx, 0, (nmax - 1)[..., None])
-    # offset measured from the *clipped* 000 corner (reference line 118)
-    off = flt - idx[:, :, 0, :].astype(flt.dtype)  # (L, N, 3)
+    idx3, off3 = [], []
+    for d in range(3):
+        fd = x01[:, d][None, :] * (entries - 1.0)[:, None]       # (L, N)
+        # truncation toward zero like torch .long() (part_base_embedder.py:116)
+        bd = fd.astype(jnp.int32)
+        cd = jnp.array(cbits[:, d], jnp.int32)[None, :, None]    # (1,8,1)
+        idx3.append(jnp.clip(bd[:, None, :] + cd, 0, (nmax - 1)[:, :, None]))
+        # offset measured from the *clipped* 000 corner (reference line 118)
+        off3.append(fd - jnp.clip(bd, 0, nmax - 1).astype(fd.dtype))
 
-    # trilinear weights: corner==0 -> (1-off), corner==1 -> off
-    cf = corner.astype(flt.dtype)  # (8, 3)
-    w = (1.0 - cf)[None, None] + (2.0 * cf - 1.0)[None, None] * off[:, :, None, :]
-    w = w[..., 0] * w[..., 1] * w[..., 2]  # (L, N, 8)
+    # trilinear weights: corner bit 0 -> (1-off), bit 1 -> off
+    w = None
+    for d in range(3):
+        cf = jnp.array(cbits[:, d], x01.dtype)[None, :, None]    # (1,8,1)
+        wd = (1.0 - cf) + (2.0 * cf - 1.0) * off3[d][:, None, :]
+        w = wd if w is None else w * wd                          # (L, 8, N)
 
-    def interp(table, ind, n_lev, level_offsets):
-        lo = 0 if table is params["dense"] else S
+    def interp(table, ind, n_lev, level_offsets, lo):
+        """-> (n_lev, F', N) level-major feature blocks (F'=1 for scalar
+        grids).  NOTE: lerp accumulates in f32 (w's dtype); a bf16-lerp
+        variant was measured SLOWER (-7% step throughput): the weight
+        converts + bf16 VPU reduces cost more than the f32 promotion."""
+        ws = w[lo:lo + n_lev]                                    # (n_lev,8,N)
+        ind_flat = ind.reshape(-1)  # level-major stream, corner mid, N minor
         if spec.scalar:
             # scalar grid: one value per row; forward contribution F * q
-            v = scalar_table_gather(table, ind.reshape(-1), n_lev,
-                                    level_offsets).reshape(n_lev, N, 8)
-            return jnp.sum(w[lo:lo + n_lev] * v, axis=-1) * F  # (n_lev, N)
-        v = table_gather(table, ind.reshape(-1), n_lev, F,
-                         level_offsets,
-                         spec.exact_grads).reshape(n_lev, N, 8, F)
-        # NOTE: lerp accumulates in f32 (w's dtype).  A bf16-lerp variant
-        # (wc = w.astype(table.dtype)) was measured SLOWER (-7% step
-        # throughput): the weight-array converts + bf16 VPU reduces cost
-        # more than the f32 corner promotion they replace.
-        return jnp.sum(w[lo:lo + n_lev, ..., None] * v, axis=-2)  # (n_lev, N, F)
+            v = scalar_table_gather(table, ind_flat, n_lev,
+                                    level_offsets).reshape(n_lev, 8, N)
+            return (jnp.sum(ws * v, axis=1) * F)[:, None, :]     # (n_lev,1,N)
+        if table.shape[1] != F:
+            # packed big table: keep the wide-row gather (one row fetch
+            # carries all F features; per-column gathers would F-plicate
+            # the latency-bound row fetches)
+            v = table_gather(table, ind_flat, n_lev, F, level_offsets,
+                             spec.exact_grads).reshape(n_lev, 8, N, F)
+            return jnp.moveaxis(jnp.sum(ws[..., None] * v, axis=1), -1, 1)
+        # plain small table: per-feature COLUMN gathers — a (R, F) gather
+        # output with F on the minor axis tile-pads 64x at F=2
+        feats = []
+        for f in range(F):
+            vf = scalar_table_gather(table[:, f], ind_flat, n_lev,
+                                     level_offsets,
+                                     not spec.exact_grads).reshape(n_lev, 8, N)
+            feats.append(jnp.sum(ws * vf, axis=1))               # (n_lev, N)
+        return jnp.stack(feats, axis=1)                          # (n_lev,F,N)
 
-    # one flat gather per table: (S,N,8) dense indices into (dense_total, F)
-    # and (H,N,8) level-offset hashed indices into the flattened hash table —
+    # one flat gather per table: (S,8,N) dense indices into (dense_total, F)
+    # and (H,8,N) level-offset hashed indices into the flattened hash table —
     # a single big gather beats 1 + H separate/vmapped gathers on TPU (fewer
-    # ops, one fused backward scatter-add).  Each table runs through the
-    # corner sum separately: concatenating the (L,N,8,F) gathered values
-    # first was a pure ~130 MB copy (~7 ms/step).
+    # ops, one fused backward scatter-add).
     # PERF: gathers MUST use flat 1-D index vectors — multi-dim index arrays
     # (whose minor dims are tiny) trigger a ~1000x slower TPU gather path
     # (measured 56ms -> 0.02ms for the same 1.2M rows).
     vals = []
     if S > 0:
-        nd = nmax[:S]  # (S,1,1)
-        ind_d = (idx[:S, ..., 0] * (nd * nd) + idx[:S, ..., 1] * nd
-                 + idx[:S, ..., 2])  # (S, N, 8)
-        ind_d = ind_d + jnp.array(spec.dense_offsets, dtype=jnp.int32)[:, None, None]
+        nd = nmax[:S, :, None]  # (S,1,1)
+        ind_d = (idx3[0][:S] * (nd * nd) + idx3[1][:S] * nd
+                 + idx3[2][:S])  # (S, 8, N)
+        ind_d = ind_d + jnp.array(spec.dense_offsets,
+                                  dtype=jnp.int32)[:, None, None]
         vals.append(interp(params["dense"], ind_d, S,
-                           spec.dense_offsets + (spec.dense_total,)))
+                           spec.dense_offsets + (spec.dense_total,), 0))
     if H > 0:
         p0, p1, p2 = (jnp.uint32(p) for p in spec.primes)
-        ih = idx[S:].astype(jnp.uint32)
-        ind_h = ((ih[..., 0] * p0) ^ (ih[..., 1] * p1) ^ (ih[..., 2] * p2))
-        ind_h = (ind_h % jnp.uint32(spec.table_size)).astype(jnp.int32)  # (H, N, 8)
+        ind_h = ((idx3[0][S:].astype(jnp.uint32) * p0)
+                 ^ (idx3[1][S:].astype(jnp.uint32) * p1)
+                 ^ (idx3[2][S:].astype(jnp.uint32) * p2))
+        ind_h = (ind_h % jnp.uint32(spec.table_size)).astype(jnp.int32)
         ind_h = ind_h + (jnp.arange(H, dtype=jnp.int32)
-                         * spec.table_size)[:, None, None]
+                         * spec.table_size)[:, None, None]  # (H, 8, N)
         vals.append(interp(params["hash"], ind_h, H,
-                           tuple(l * spec.table_size for l in range(H + 1))))
-    val = jnp.concatenate(vals, axis=0) if len(vals) > 1 else vals[0]  # (L, N[, F])
+                           tuple(l * spec.table_size for l in range(H + 1)), S))
+    val = jnp.concatenate(vals, axis=0) if len(vals) > 1 else vals[0]
 
-    val = jnp.swapaxes(val, 0, 1).astype(x01.dtype)  # (N, L[, F])
+    # val: (L, F', N) — transpose to point-major only ONCE, at the final
+    # (N, out_dim) assembly (an out_dim minor pad is small and bounded)
+    val = val.astype(x01.dtype)
     if spec.scalar:
-        pass                                   # already the (N, L) feature sums
+        out = val[:, 0, :].T                              # (N, L) feature sums
     elif spec.sum:
-        val = jnp.sum(val, axis=-1) if spec.sum_over_features else jnp.sum(val, axis=-2)
+        out = (jnp.sum(val, axis=1).T if spec.sum_over_features
+               else jnp.sum(val, axis=0).T)               # (N, L) / (N, F)
     else:
-        val = val.reshape(N, L * F)
+        out = val.reshape(L * F, N).T                     # (N, L*F)
     if spec.include_input:
-        val = jnp.concatenate([x01, val], axis=-1)
-    return val
+        out = jnp.concatenate([x01, out], axis=-1)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -496,80 +529,88 @@ def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
     b = bounds[jnp.asarray(pid, jnp.int32)]              # (M, 2, 3)
     x01 = (pts - b[:, 0]) / (b[:, 1] - b[:, 0])          # (M, 3)
 
+    # Same layout rule as hashgrid_encode (docs/PERF.md round 5): corner
+    # axis in the MIDDLE, M minor, xyz as three separate arrays — a
+    # trailing dim of 3/8 tile-pads 42x/16x at record scale.  The record
+    # stream stays level-major (backward kernel contract); corner order
+    # within a level is free.
     # (L, M) per-point-per-level resolutions — a host-side constant
     e_np = np.asarray([s.entries_num for s in specs], np.int32)[pid].T  # (L, M)
     e_f = jnp.asarray(e_np, x01.dtype)
-    flt = x01[None, :, :] * (e_f - 1.0)[:, :, None]      # (L, M, 3)
-    base = flt.astype(jnp.int32)
-    corner = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
-                      axis=-1).reshape(8, 3)
-    corner = jnp.asarray(corner, jnp.int32)
-    idx = base[:, :, None, :] + corner[None, None, :, :]  # (L, M, 8, 3)
-    nmax = jnp.asarray(e_np)[:, :, None, None]
-    idx = jnp.clip(idx, 0, nmax - 1)
-    off = flt - idx[:, :, 0, :].astype(flt.dtype)
-    cf = corner.astype(flt.dtype)
-    w = (1.0 - cf)[None, None] + (2.0 * cf - 1.0)[None, None] * off[:, :, None, :]
-    w = w[..., 0] * w[..., 1] * w[..., 2]                # (L, M, 8)
+    e_i = jnp.asarray(e_np)                              # (L, M) i32
+    cbits = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
+                     axis=-1).reshape(8, 3)              # z fastest
 
-    # dense + hash candidate indices for EVERY (level, point, corner); each
+    idx3 = []
+    w = None
+    for d in range(3):
+        fd = x01[:, d][None, :] * (e_f - 1.0)            # (L, M)
+        bd = fd.astype(jnp.int32)
+        cd = jnp.asarray(cbits[:, d], jnp.int32)[None, :, None]   # (1,8,1)
+        idx3.append(jnp.clip(bd[:, None, :] + cd, 0, (e_i - 1)[:, None, :]))
+        od = fd - jnp.clip(bd, 0, e_i - 1).astype(fd.dtype)       # (L, M)
+        cf = jnp.asarray(cbits[:, d], x01.dtype)[None, :, None]
+        wd = (1.0 - cf) + (2.0 * cf - 1.0) * od[:, None, :]
+        w = wd if w is None else w * wd                  # (L, 8, M)
+
+    # dense + hash candidate indices for EVERY (level, corner, point); each
     # table then slices its (levels x points) window.  Flat 1-D gather
     # indices (multi-dim index arrays hit the ~1000x slower TPU path).
-    n_lm = jnp.asarray(e_np)[:, :, None]                 # (L, M, 1)
-    ind_dense = idx[..., 0] * (n_lm * n_lm) + idx[..., 1] * n_lm + idx[..., 2]
+    n_lm = e_i[:, None, :]                               # (L, 1, M)
+    ind_dense = idx3[0] * (n_lm * n_lm) + idx3[1] * n_lm + idx3[2]
     p0, p1, p2 = (jnp.uint32(p) for p in s0.primes)
-    ih = idx.astype(jnp.uint32)
-    h_all = (ih[..., 0] * p0) ^ (ih[..., 1] * p1) ^ (ih[..., 2] * p2)
+    h_all = ((idx3[0].astype(jnp.uint32) * p0)
+             ^ (idx3[1].astype(jnp.uint32) * p1)
+             ^ (idx3[2].astype(jnp.uint32) * p2))        # (L, 8, M)
 
     scalar = s0.scalar
 
-    def gather(table, ind, n_lev, level_offsets):
+    def block_feat(tab, ind, ws, n_lev, Kp, level_offsets):
+        """One (part, table) block: gather + feature-sum + corner lerp.
+        ind/ws: (n_lev, 8, Kp); -> (n_lev, Kp) level-block features.
+        sum_over_features runs FIRST (f32 accumulation); scalar grids carry
+        the sum directly as F * q."""
+        ind_flat = ind.reshape(-1)
         if scalar:
-            return scalar_table_gather(table, ind, n_lev, level_offsets)
-        return table_gather(table, ind, n_lev, F, level_offsets,
-                            s0.exact_grads)
+            v = scalar_table_gather(tab, ind_flat, n_lev, level_offsets)
+            vsum = v.astype(jnp.float32) * F
+        elif tab.shape[1] != F:
+            # packed big table: one wide-row fetch carries all F features
+            v = table_gather(tab, ind_flat, n_lev, F, level_offsets,
+                             s0.exact_grads)
+            vsum = jnp.sum(v, axis=-1, dtype=jnp.float32)
+        else:
+            # plain small table: per-feature COLUMN gathers — the (R, F)
+            # gather output tile-pads 128/F x at record scale
+            vsum = None
+            for f in range(F):
+                vf = scalar_table_gather(tab[:, f], ind_flat, n_lev,
+                                         level_offsets, not s0.exact_grads)
+                vsum = vf if vsum is None else vsum + vf
+            vsum = vsum.astype(jnp.float32)
+        return jnp.sum(ws * vsum.reshape(n_lev, 8, Kp), axis=1)
 
-    vals, weights = [], []
+    outs = []
     for p in range(P):
         s = specs[p]
         Kp, o = seg_sizes[p], offs[p]
         S, H = s.start_hash, s.n_hash_levels
-        if S > 0:
-            d = ind_dense[:S, o:o + Kp] + jnp.asarray(
-                s.dense_offsets, jnp.int32)[:, None, None]
-            vals.append(gather(params_list[p]["dense"], d.reshape(-1),
-                               S, s.dense_offsets + (s.dense_total,)))
-            weights.append(w[:S, o:o + Kp])
-        if H > 0:
-            hh = (h_all[S:, o:o + Kp] % jnp.uint32(s.table_size)).astype(jnp.int32)
-            hh = hh + (jnp.arange(H, dtype=jnp.int32) * s.table_size)[:, None, None]
-            vals.append(gather(params_list[p]["hash"], hh.reshape(-1), H,
-                               tuple(l * s.table_size for l in range(H + 1))))
-            weights.append(w[S:, o:o + Kp])
-
-    v_cat = jnp.concatenate(vals, axis=0)                # (R_total[, F])
-    # feature sum FIRST (sum_over_features): one reduce of the whole stream,
-    # f32 accumulation; scalar grids carry the sum directly as F * q
-    if scalar:
-        vsum = v_cat.astype(jnp.float32) * F             # (R_total,)
-    else:
-        vsum = jnp.sum(v_cat, axis=-1, dtype=jnp.float32)
-    w_cat = jnp.concatenate([wk.reshape(-1) for wk in weights], axis=0)
-    feat = jnp.sum((w_cat * vsum).reshape(-1, 8), axis=-1)  # (R_total/8,)
-
-    # (level, point) features -> (M, L): per part, dense+hash level blocks
-    outs = []
-    pos = 0
-    for p in range(P):
-        s = specs[p]
-        Kp = seg_sizes[p]
         blocks = []
-        for n_lev in ((s.start_hash, s.n_hash_levels) if s.start_hash > 0
-                      else (s.n_hash_levels,)):
-            if n_lev == 0:
-                continue
-            blocks.append(feat[pos:pos + n_lev * Kp].reshape(n_lev, Kp))
-            pos += n_lev * Kp
+        if S > 0:
+            d = ind_dense[:S, :, o:o + Kp] + jnp.asarray(
+                s.dense_offsets, jnp.int32)[:, None, None]
+            blocks.append(block_feat(params_list[p]["dense"], d,
+                                     w[:S, :, o:o + Kp], S, Kp,
+                                     s.dense_offsets + (s.dense_total,)))
+        if H > 0:
+            hh = (h_all[S:, :, o:o + Kp]
+                  % jnp.uint32(s.table_size)).astype(jnp.int32)
+            hh = hh + (jnp.arange(H, dtype=jnp.int32)
+                       * s.table_size)[:, None, None]
+            blocks.append(block_feat(params_list[p]["hash"], hh,
+                                     w[S:, :, o:o + Kp], H, Kp,
+                                     tuple(l * s.table_size
+                                           for l in range(H + 1))))
         part = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
         outs.append(part.T)                              # (Kp, L)
     val = jnp.concatenate(outs, axis=0).astype(x01.dtype)  # (M, L)
