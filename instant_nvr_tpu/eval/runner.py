@@ -38,11 +38,25 @@ MAP_KEYS = ("rgb_map", "acc_map")
 TELEMETRY_KEYS = ("cull_overflow", "part_overflow", "cull_need", "part_need")
 
 
+def _lean_gather_specs(mspec: inb.ModelSpec) -> inb.ModelSpec:
+    """Flip the DEFORMER grid to plain (non-wide) scalar gathers: its
+    per-column wide-row (R, 16) intermediate is what XLA materializes
+    (tile-padded 8x -> the 33.9 GB allocation) at eval chunks > 4096.
+    The part grids keep wide gathers — their intermediates fuse, and
+    flipping them too measured 2x slower eval (60.3 s vs 29.1 s per 512^2
+    frame at chunk 16384; docs/PERF.md round 5)."""
+    return mspec._replace(
+        deformer=mspec.deformer._replace(
+            embed=mspec.deformer.embed._replace(wide_gather=False)))
+
+
 def make_chunked_renderer(mspec: inb.ModelSpec, rspec: RenderSpec,
                           chunk: int):
     """jit(params, ray batch (Npad,...), meta) -> rgb/acc maps (Npad,...)
     plus worst-chunk budget telemetry (overflow fractions + needed budget
     fractions; see AutoBudgetRenderer)."""
+    if chunk > 4096:
+        mspec = _lean_gather_specs(mspec)
 
     @partial(jax.jit, static_argnames=())
     def render_image(params, rays: Dict[str, jnp.ndarray],

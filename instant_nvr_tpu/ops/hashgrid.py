@@ -178,14 +178,18 @@ table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)
 WIDE_GATHER_W = 16
 
 
-def _wide_row_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _wide_row_gather(table: jnp.ndarray, idx: jnp.ndarray,
+                     wide: bool = True) -> jnp.ndarray:
     """q[idx] via (rows/W, W) row fetch + exact lane select.
 
     Runs on every backend (same graph the TPU executes, so the CPU test
-    suite covers it); set WIDE_GATHER_W = 1 to fall back to the plain
-    1-D gather.
+    suite covers it).  ``wide=False`` uses the plain 1-D gather: slower
+    per fetch, but with NO (R, W) intermediate — when XLA materializes
+    that intermediate at record scale it tile-pads W->128 lanes (the
+    f32[66M,16] -> 33.9 GB eval allocation, docs/PERF.md round 5); callers
+    with huge record streams into tiny tables pass wide=False.
     """
-    W = WIDE_GATHER_W
+    W = WIDE_GATHER_W if wide else 1
     n = table.shape[0]
     if W <= 1:
         return table[idx]
@@ -196,10 +200,11 @@ def _wide_row_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(oh, rows, 0), axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def scalar_table_gather(table: jnp.ndarray, idx: jnp.ndarray, n_levels: int,
                         level_offsets: Tuple[int, ...] = None,
-                        allow_rounded: bool = False):
+                        allow_rounded: bool = False,
+                        wide: bool = True):
     """1-D gather q[idx] with a kernel scatter-add backward.
 
     table: (T_rows,) scalar-per-row grid; idx: (R,) int32 logical rows,
@@ -207,16 +212,18 @@ def scalar_table_gather(table: jnp.ndarray, idx: jnp.ndarray, n_levels: int,
     :func:`table_gather`).  ``allow_rounded`` (static) lets f32 tables take
     the one-hot kernel with a bf16-rounded gradient — the small-table
     per-feature-column path under bf16 configs, same rounding class as
-    :func:`table_gather`'s f32 routing.
+    :func:`table_gather`'s f32 routing.  ``wide`` (static): see
+    :func:`_wide_row_gather`.
     """
-    return _wide_row_gather(table, idx)
+    return _wide_row_gather(table, idx, wide)
 
 
-def _scalar_gather_fwd(table, idx, n_levels, level_offsets, allow_rounded):
-    return _wide_row_gather(table, idx), (table, idx)
+def _scalar_gather_fwd(table, idx, n_levels, level_offsets, allow_rounded,
+                       wide):
+    return _wide_row_gather(table, idx, wide), (table, idx)
 
 
-def _scalar_gather_bwd(n_levels, level_offsets, allow_rounded, res, g):
+def _scalar_gather_bwd(n_levels, level_offsets, allow_rounded, wide, res, g):
     (table, idx) = res
     n_rows = table.shape[0]
     on_accel = jax.default_backend() not in ("cpu",)
@@ -283,6 +290,12 @@ class HashGridSpec(NamedTuple):
     # (set by grid_compute_dtype: float32 configs — full-precision
     # parity/debugging runs get the exact XLA f32 scatter, ADVICE r4)
     exact_grads: bool = False
+    # wide-row scalar gathers (W=16 row fetch + lane select, ~1.9x faster
+    # per fetch) vs plain 1-D (no (R, W) intermediate).  Training keeps
+    # wide (measured: 39.6 vs 53.6 ms selfcheck step); memory-bound eval
+    # programs (chunk > 4096) flip it off — a materialized (R, 16)
+    # intermediate tile-pads 8x at eval record counts (docs/PERF.md r5)
+    wide_gather: bool = True
 
     @property
     def out_dim(self) -> int:
@@ -422,8 +435,9 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
         ind_flat = ind.reshape(-1)  # level-major stream, corner mid, N minor
         if spec.scalar:
             # scalar grid: one value per row; forward contribution F * q
-            v = scalar_table_gather(table, ind_flat, n_lev,
-                                    level_offsets).reshape(n_lev, 8, N)
+            v = scalar_table_gather(table, ind_flat, n_lev, level_offsets,
+                                    False,
+                                    spec.wide_gather).reshape(n_lev, 8, N)
             return (jnp.sum(ws * v, axis=1) * F)[:, None, :]     # (n_lev,1,N)
         if table.shape[1] != F:
             # packed big table: keep the wide-row gather (one row fetch
@@ -437,8 +451,8 @@ def hashgrid_encode(spec: HashGridSpec, params: dict, xyz: jnp.ndarray,
         feats = []
         for f in range(F):
             vf = scalar_table_gather(table[:, f], ind_flat, n_lev,
-                                     level_offsets,
-                                     not spec.exact_grads).reshape(n_lev, 8, N)
+                                     level_offsets, not spec.exact_grads,
+                                     spec.wide_gather).reshape(n_lev, 8, N)
             feats.append(jnp.sum(ws * vf, axis=1))               # (n_lev, N)
         return jnp.stack(feats, axis=1)                          # (n_lev,F,N)
 
@@ -572,7 +586,8 @@ def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
         the sum directly as F * q."""
         ind_flat = ind.reshape(-1)
         if scalar:
-            v = scalar_table_gather(tab, ind_flat, n_lev, level_offsets)
+            v = scalar_table_gather(tab, ind_flat, n_lev, level_offsets,
+                                    False, s0.wide_gather)
             vsum = v.astype(jnp.float32) * F
         elif tab.shape[1] != F:
             # packed big table: one wide-row fetch carries all F features
@@ -585,7 +600,8 @@ def multi_hashgrid_encode(specs: Tuple[HashGridSpec, ...], params_list,
             vsum = None
             for f in range(F):
                 vf = scalar_table_gather(tab[:, f], ind_flat, n_lev,
-                                         level_offsets, not s0.exact_grads)
+                                         level_offsets, not s0.exact_grads,
+                                         s0.wide_gather)
                 vsum = vf if vsum is None else vsum + vf
             vsum = vsum.astype(jnp.float32)
         return jnp.sum(ws * vsum.reshape(n_lev, 8, Kp), axis=1)
