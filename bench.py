@@ -107,6 +107,13 @@ def main():
         for i in range(3):
             pstate, pstats = pstep(pstate, pbatch, rngs[i % 8])
         jax.block_until_ready(pstats["loss"])
+        trace_dir = os.environ.get("BENCH_TRACE_PATCH", "")
+        if trace_dir:  # profile a 5-step patch window (tools/analyze_trace.py)
+            jax.profiler.start_trace(trace_dir)
+            for i in range(5):
+                pstate, pstats = pstep(pstate, pbatch, rngs[i % 8])
+            float(pstats["loss"])
+            jax.profiler.stop_trace()
         prates, pstate = _measure(pstep, pstate, pbatch, rngs)
         pmedian = prates[len(prates) // 2]
         if mode == "patch":  # patch-only: patch IS the primary metric

@@ -195,6 +195,24 @@ def _wide_row_gather(table: jnp.ndarray, idx: jnp.ndarray,
         return table[idx]
     if n % W:
         table = jnp.pad(table, (0, W - n % W))  # tiny tables; big are tile-padded
+    if table.dtype == jnp.float32:
+        # f32 wide rows get the PADDED {1,0} (R, W) layout on TPU (16
+        # lanes -> 128: 8x physical HBM, ~22 ms/step on the deformer
+        # columns, docs/PERF.md round 5) while 2-byte dtypes get the
+        # compact {0,1} layout.  So: view the f32 rows as u16 lane PAIRS,
+        # gather (R, 2W) u16 (compact), and recombine the selected pair
+        # with integer ops — bit-exact f32, 8x less gather traffic.
+        # XLA BitcastConvert to a narrower type appends a minor dim whose
+        # index 0 is the LEAST significant bits (tested vs table[idx] in
+        # tests/test_hashgrid.py).
+        t16 = jax.lax.bitcast_convert_type(table.reshape(-1, W), jnp.uint16)
+        rows = t16.reshape(-1, 2 * W)[idx // W]          # (R, 2W) u16
+        lanes = jnp.arange(2 * W, dtype=idx.dtype)[None, :]
+        oh = (idx & (W - 1))[:, None] == lanes // 2      # selected PAIR
+        m = jnp.where(lanes % 2 == 0, jnp.uint32(1), jnp.uint32(1 << 16))
+        bits = jnp.sum(jnp.where(oh, rows.astype(jnp.uint32) * m, 0),
+                       axis=1, dtype=jnp.uint32)
+        return jax.lax.bitcast_convert_type(bits, jnp.float32)
     rows = table.reshape(-1, W)[idx // W]       # (R, W): one fetch per index
     oh = (idx & (W - 1))[:, None] == jnp.arange(W, dtype=idx.dtype)[None, :]
     return jnp.sum(jnp.where(oh, rows, 0), axis=1)

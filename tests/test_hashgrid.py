@@ -311,3 +311,18 @@ def test_multi_part_encode_matches_per_part():
     for a, b in zip(jax.tree.leaves(g_multi), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_wide_row_gather_f32_bit_exact():
+    """The f32 wide gather goes through the u16 lane-pair recombination
+    (compact TPU layout, docs/PERF.md round 5) — it must stay BIT-exact
+    vs a plain table[idx], including negatives/denormals/NaN payloads."""
+    from instant_nvr_tpu.ops.hashgrid import _wide_row_gather
+    rng = np.random.default_rng(3)
+    table = rng.standard_normal(1000).astype(np.float32)
+    table[:4] = [0.0, -0.0, np.inf, 1e-42]
+    idx = rng.integers(0, 1000, size=5000).astype(np.int32)
+    got = np.asarray(_wide_row_gather(jnp.array(table), jnp.array(idx)))
+    want = table[idx]
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got.view(np.uint32), want.view(np.uint32))
